@@ -1,0 +1,127 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from topsy_tpu import camera
+from topsy_tpu.loaders import TestDataLoader
+from topsy_tpu.ops import splat
+
+
+RES = 128
+SCALE = 50.0
+
+
+def make_matrix(rot=None, offset=(0, 0, 0), scale=SCALE):
+    return camera.world_to_clip_matrix(np.eye(3) if rot is None else rot,
+                                       np.asarray(offset, dtype=float), scale)
+
+
+def render_scatter(pos_smooth, values, matrix, res=RES, scale=SCALE):
+    return np.asarray(splat.splat_scatter(jnp.asarray(pos_smooth), jnp.asarray(values),
+                                          jnp.asarray(matrix), res, scale))
+
+
+def pixel_area(scale=SCALE, res=RES):
+    return (2.0 * scale / res) ** 2
+
+
+def test_single_particle_mass_conserved_and_centred():
+    for h in [0.3, 1.0, 4.0, 12.0, 40.0]:
+        ps = np.array([[0.0, 0.0, 0.0, h]], dtype=np.float32)
+        vals = np.array([[2.5]], dtype=np.float32)
+        im = render_scatter(ps, vals, make_matrix())[:, :, 0]
+        total = im.sum() * pixel_area()
+        # sub-pixel splats conserve mass only on phase average (the
+        # normalization table is phase-averaged); resolved splats are exact
+        rel = 0.15 if h * RES / (2 * SCALE) < 1.0 else 0.02
+        assert total == pytest.approx(2.5, rel=rel), f"h={h}"
+        # centre of mass at image centre (pixel 63.5)
+        ys, xs = np.mgrid[0:RES, 0:RES]
+        com_y = (im * ys).sum() / im.sum()
+        com_x = (im * xs).sum() / im.sum()
+        assert com_x == pytest.approx(63.5, abs=0.1)
+        assert com_y == pytest.approx(63.5, abs=0.1)
+
+
+def test_particle_off_centre_positions():
+    # particle at world (25, 0, 0) -> clip (0.5, 0) -> col 95.5, centre row
+    ps = np.array([[25.0, 0.0, 0.0, 3.0]], dtype=np.float32)
+    vals = np.array([[1.0]], dtype=np.float32)
+    im = render_scatter(ps, vals, make_matrix())[:, :, 0]
+    ys, xs = np.mgrid[0:RES, 0:RES]
+    assert (im * xs).sum() / im.sum() == pytest.approx(95.5, abs=0.1)
+    # world +y is up -> smaller row index
+    ps = np.array([[0.0, 25.0, 0.0, 3.0]], dtype=np.float32)
+    im = render_scatter(ps, vals, make_matrix())[:, :, 0]
+    assert (im * ys).sum() / im.sum() == pytest.approx(31.5, abs=0.1)
+
+
+def test_z_culling():
+    vals = np.array([[1.0]], dtype=np.float32)
+    inside = np.array([[0.0, 0.0, 49.0, 2.0]], dtype=np.float32)
+    outside = np.array([[0.0, 0.0, 51.0, 2.0]], dtype=np.float32)
+    assert render_scatter(inside, vals, make_matrix()).sum() > 0
+    assert render_scatter(outside, vals, make_matrix()).sum() == 0
+
+
+def test_viewport_clipping_drops_mass():
+    vals = np.array([[1.0]], dtype=np.float32)
+    edge = np.array([[49.9, 0.0, 0.0, 5.0]], dtype=np.float32)
+    im = render_scatter(edge, vals, make_matrix())[:, :, 0]
+    total = im.sum() * pixel_area()
+    assert 0.1 < total < 0.9  # roughly half the splat is off-screen
+
+
+def test_matches_bruteforce_distribution():
+    loader = TestDataLoader(3000, seed=1337)
+    ps = loader.get_pos_smooth()
+    vals = loader.get_mass()[:, None]
+    m = make_matrix(scale=200.0)
+    fast = render_scatter(ps, vals, m, scale=200.0)[:, :, 0]
+    exact = splat.splat_bruteforce(ps, vals, m, RES, 200.0)[:, :, 0]
+    # distribution-level agreement (reference uses the same style of check,
+    # reference: tests/test_render_output.py:234-241)
+    assert fast.mean() == pytest.approx(exact.mean(), rel=0.01)
+    assert fast.std() == pytest.approx(exact.std(), rel=0.05)
+    # pixel-level: smoothed correlation
+    corr = np.corrcoef(fast.ravel(), exact.ravel())[0, 1]
+    assert corr > 0.995
+
+
+def test_rotation_equivariance_90deg():
+    """Rotating the camera 90 deg about z rotates the image (reference:
+    tests/test_render_output.py:280-293)."""
+    loader = TestDataLoader(5000, seed=1)
+    ps = loader.get_pos_smooth()
+    vals = loader.get_mass()[:, None]
+    rot = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    im0 = render_scatter(ps, vals, make_matrix(scale=200.0), scale=200.0)[:, :, 0]
+    im90 = render_scatter(ps, vals, make_matrix(rot=rot, scale=200.0), scale=200.0)[:, :, 0]
+    im0_rot = np.rot90(im0, k=1)
+    mask = (im0_rot > 0) & (im90 > 0)
+    ratio = im90[mask] / im0_rot[mask]
+    assert np.median(np.abs(ratio - 1)) < 0.05
+
+
+def test_two_channels_weighted_quantity():
+    loader = TestDataLoader(2000, seed=2)
+    ps = loader.get_pos_smooth()
+    mass = loader.get_mass()
+    qty = loader.get_named_quantity("test-quantity")
+    vals = np.stack([mass, mass * qty], axis=1)
+    im = render_scatter(ps, vals, make_matrix(scale=200.0), scale=200.0)
+    ratio = im[:, :, 1] / np.maximum(im[:, :, 0], 1e-30)
+    valid = im[:, :, 0] > 0
+    # weighted average of a bounded quantity stays within quantity bounds
+    assert np.abs(ratio[valid]).max() <= 1.01e-4
+
+
+def test_extra_mask_zeroes_particles():
+    ps = np.array([[0.0, 0.0, 0.0, 2.0], [10.0, 0, 0, 2.0]], dtype=np.float32)
+    vals = np.ones((2, 1), dtype=np.float32)
+    mask = jnp.asarray([True, False])
+    im = splat.splat_scatter(jnp.asarray(ps), jnp.asarray(vals),
+                             jnp.asarray(make_matrix()), RES, SCALE, extra_mask=mask)
+    total = float(np.asarray(im).sum()) * pixel_area()
+    assert total == pytest.approx(1.0, rel=0.02)

@@ -1,0 +1,95 @@
+"""Tunables for the TPU-native renderer.
+
+Behavioural constants mirror the reference semantics (reference:
+src/topsy/config.py:1-44); TPU-specific constants (pyramid depth, chunk
+sizes, matmul tile shapes) are new and tuned for TPU v5e.
+"""
+
+# ---------------------------------------------------------------- display ---
+DEFAULT_RESOLUTION = 1024
+DEFAULT_COLORMAP = "twilight_shifted"
+
+DEFAULT_SCALE = 200.0  # viewport half-width in kpc
+
+TARGET_FPS = 30  # adaptive LOD keeps this
+INITIAL_PARTICLES_TO_RENDER = 1e5
+STATUS_LINE_UPDATE_INTERVAL = 0.2  # seconds
+STATUS_LINE_UPDATE_INTERVAL_RAPID = 0.05
+
+GLIDE_TIME = 0.3  # seconds after double click to reach destination
+
+COLORBAR_ASPECT_RATIO = 0.15
+COLORMAP_NUM_SAMPLES = 1000
+
+TEST_DATA_NUM_PARTICLES_DEFAULT = int(1e6)
+
+# ------------------------------------------------------------ particle LOD --
+MAX_PARTICLES_PER_BUFFER = 2**27
+# kept for API parity with the reference buffer splitting; on TPU this is the
+# per-shard particle capacity before arrays are split across device shards.
+
+MAX_PARTICLES_PER_EXPORT_RENDERCALL = 2**25
+# EXPORT renders are chunked into calls of at most this many particles.
+
+DEFAULT_CELLS_NSIDE = 16
+# spatial grid used for geometric culling (reference: config.py:27-31)
+
+CELL_LAYOUT_FRACTIONAL_PADDING = 1e-5
+
+# fraction of the frame budget below which no new block is attempted
+FRAME_BUDGET_CUTOFF_FRACTION = 0.4
+
+JUPYTER_UI_LAG = 0.05
+
+PROJECTED_DENSITY_NAME = "Projected density"
+
+MAX_SURFACE_SMOOTH_PIXELS = 100
+
+# ------------------------------------------------------------- TPU renderer --
+SPLAT_KERNEL_RANK = 3
+# rank of the separable (eigen) decomposition of the projected SPH kernel;
+# rank 3 reproduces the kernel to <0.1% relative L2 error.
+
+SPLAT_POLY_DEGREE = 8
+# degree (in t^2) of the polynomial fit to each kernel eigen-profile.
+
+SPLAT_MAX_HALF_SIZE_PX = 3.5
+# pyramid level is chosen so that the smoothing length in level pixels is at
+# most this; footprint (radius 2h <= 7px) then fits in a 16px window.
+
+SPLAT_MIN_HALF_SIZE_PX = 0.71
+# smoothing lengths are clamped up to this many (level) pixels so that very
+# small splats still cover at least one pixel centre on average; mass is
+# conserved exactly via the discrete normalization table.
+
+SPLAT_WINDOW = 16
+# side of the square footprint window used by the scatter path, and the
+# truncation width of giant splats at the coarsest pyramid level.
+
+SPLAT_PYRAMID_LEVELS = 7
+# levels 0..6 -> level L resolution = resolution / 2^L (min useful res 16).
+
+SPLAT_CHUNK = 512
+# particles per matmul chunk in the atlas splatter.
+
+SPLAT_BAND_ROWS = 8
+# rows per sort band; chunk output windows are aligned to this.
+
+SPLAT_WINDOW_ROWS = 64
+# rows of the dynamic output window each chunk accumulates into; chunks whose
+# particles do not fit this window spill into the dense fallback pass.
+
+SPLAT_ATLAS_PAD = 64
+# padding rows between pyramid levels in the atlas canvas (>= WINDOW_ROWS so
+# dynamic windows never contaminate a neighbouring level).
+
+SPLAT_ATLAS_COL_PAD = 16
+# padding cols on either side of the atlas (edge-clipping margin).
+
+SPLAT_SPILL_CAP = 8192
+# capacity of the dense-fallback pass for particles that do not fit their
+# chunk's row window (sparsely populated bands).
+
+AUTORANGE_PERCENTILES = (1.0, 99.9)
+
+GPU_TIMING_SMOOTH_WINDOW = 10  # frames of running-mean for fps display

@@ -1,0 +1,374 @@
+"""Data loaders: host-side snapshot access and physics preparation.
+
+Mirrors the reference loader contract (reference: src/topsy/loader.py:16-77):
+``get_positions / get_smooth / get_mass / get_named_quantity /
+get_rgb_masses / get_render_progression / get_periodicity_scale`` etc., with
+one structural difference — arrays are returned in the *interleaved LOD
+order* (see cells.CellLayout.interleave_order) so progressive rendering on
+device is a contiguous prefix.
+
+Pynbody is used only as an optional host-side file reader (it is not part of
+the TPU compute path); the synthetic TestDataLoader needs no external
+dependencies and reproduces the reference's seeded Gaussian-mixture test data
+(reference: src/topsy/loader.py:241-332) so fixtures are deterministic.
+"""
+
+from __future__ import annotations
+
+import logging
+import pickle
+from abc import ABC, abstractmethod
+
+import numpy as np
+
+from . import config
+from .cells import CellLayout
+
+logger = logging.getLogger(__name__)
+
+
+class AbstractDataLoader(ABC):
+    """Contract for particle data access (reference: loader.py:16-77)."""
+
+    _cell_layout: CellLayout | None = None
+
+    @abstractmethod
+    def __len__(self):
+        ...
+
+    @abstractmethod
+    def get_positions(self) -> np.ndarray:
+        ...
+
+    @abstractmethod
+    def get_smooth(self) -> np.ndarray:
+        ...
+
+    @abstractmethod
+    def get_mass(self) -> np.ndarray:
+        ...
+
+    @abstractmethod
+    def get_named_quantity(self, name: str) -> np.ndarray:
+        ...
+
+    @abstractmethod
+    def get_quantity_label(self, quantity_name):
+        ...
+
+    @abstractmethod
+    def get_rgb_masses(self) -> np.ndarray:
+        ...
+
+    @abstractmethod
+    def get_position_units(self) -> str:
+        ...
+
+    def get_quantity_names(self):
+        return []
+
+    def get_pos_smooth(self) -> np.ndarray:
+        """Positions and smoothing packed as float32 (N, 4)."""
+        pos_smooth = np.empty((len(self), 4), dtype=np.float32)
+        pos_smooth[:, :3] = self.get_positions()
+        pos_smooth[:, 3] = self.get_smooth()
+        return pos_smooth
+
+    def get_periodicity_scale(self):
+        return np.inf
+
+    def get_cell_layout(self) -> CellLayout | None:
+        return self._cell_layout
+
+    def get_cell_ids(self) -> np.ndarray | None:
+        """Per-particle cell index (render order), or None without cells."""
+        if self._cell_layout is None:
+            return None
+        return self._cell_layout.cell_ids_per_particle()[self._lod_order()]
+
+    def _lod_order(self) -> np.ndarray:
+        """Permutation from cell-sorted order to interleaved LOD order."""
+        if getattr(self, "_interleave", None) is None:
+            self._interleave = self._cell_layout.interleave_order()
+        return self._interleave
+
+    def get_render_progression(self):
+        from . import progression
+        if self._cell_layout is not None:
+            return progression.RenderProgressionWithCells(self._cell_layout, len(self))
+        return progression.RenderProgression(len(self))
+
+    def get_initial_center(self) -> np.ndarray:
+        return np.zeros(3, dtype=np.float32)
+
+    def get_initial_view_width(self) -> float:
+        period_scale = self.get_periodicity_scale()
+        if period_scale is not None and np.isfinite(period_scale):
+            return period_scale / 2
+        return config.DEFAULT_SCALE
+
+    def get_filename(self) -> str:
+        return "data"
+
+
+class TestDataLoader(AbstractDataLoader):
+    """Seeded synthetic data: 3-component Gaussian mixture with analytic
+    density and smoothing lengths (reference: loader.py:241-332)."""
+
+    __test__ = False  # not a pytest class
+
+    def __init__(self, n_particles: int = config.TEST_DATA_NUM_PARTICLES_DEFAULT,
+                 n_cells: int = 10, seed: int = 1337, with_cells: bool = False,
+                 periodic: bool = False):
+        self._n_particles = int(n_particles)
+        self._gmm_weights = [0.5, 0.4, 0.1]
+        self._gmm_means = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [6.0, 10.0, 0.0]])
+        self._gmm_std = np.array([[20.0, 20.0, 20.0], [4.0, 0.2, 4.0], [2.0, 2.0, 3.0]])
+
+        self._pos = self._generate_samples(seed)
+        self._den = self._evaluate_density(self._pos)
+        self._periodic = periodic
+
+        if with_cells:
+            self._cell_layout, ordering = CellLayout.from_positions(
+                self._pos, self._pos.min() - 1e-3, self._pos.max() + 1, n_cells)
+            order = ordering[self._lod_order()]
+            self._pos = self._pos[order]
+            self._den = self._den[order]
+
+    def _generate_samples(self, seed: int) -> np.ndarray:
+        np.random.seed(seed)
+        n = self._n_particles
+        pos = np.empty((n, 3), dtype=np.float32)
+        if n == 1:
+            pos[0] = self._gmm_means[0]
+        else:
+            offset = 0
+            for i, weight in enumerate(self._gmm_weights):
+                cpt_len = int(n * weight)
+                samples = np.random.normal(size=(cpt_len, 3), scale=1.0).astype(np.float32)
+                pos[offset:offset + cpt_len] = samples * self._gmm_std[np.newaxis, i, :] + self._gmm_means[i]
+                offset += cpt_len
+            assert offset == n
+        return np.random.permutation(pos)
+
+    def _evaluate_density(self, pos: np.ndarray) -> np.ndarray:
+        """Analytic GMM number density, scaled to particles per unit volume."""
+        den = np.zeros(len(pos))
+        for i, weight in enumerate(self._gmm_weights):
+            den += weight * np.exp(
+                -np.sum((pos - self._gmm_means[i]) ** 2 / self._gmm_std[i] ** 2, axis=1)
+            ) / ((2 * np.pi) ** 1.5 * np.prod(self._gmm_std[i]))
+        return den * self._n_particles
+
+    def __len__(self):
+        return self._n_particles
+
+    def get_positions(self):
+        return self._pos
+
+    def get_smooth(self):
+        return (2.0 / self._den ** 0.333333).astype(np.float32)
+
+    def get_mass(self):
+        return np.repeat(np.float32(1e-8), self._n_particles)
+
+    def get_named_quantity(self, name):
+        if name == "test-quantity":
+            p = self._pos
+            return (np.sin(p[:, 0]) * np.cos(p[:, 1]) * np.cos(p[:, 2]) * 1e-4).astype(np.float32)
+        raise KeyError("Unknown quantity name")
+
+    def get_quantity_names(self):
+        return ["test-quantity"]
+
+    def get_quantity_label(self, quantity_name):
+        if quantity_name is None:
+            return r"test density / $M_{\odot} / \mathrm{kpc}^2$"
+        if quantity_name == "test-quantity":
+            return "test quantity"
+        return "unknown"
+
+    def get_position_units(self):
+        return "kpc"
+
+    def get_periodicity_scale(self):
+        return 100.0 if self._periodic else None
+
+    def get_rgb_masses(self):
+        rgb = np.empty((self._n_particles, 3), dtype=np.float32)
+        rgb[:, 0] = abs(np.sin(self._pos[:, 0] / 10.0))
+        rgb[:, 1] = abs(np.cos(self._pos[:, 1] / 10.0))
+        rgb[:, 2] = abs(np.cos(self._pos[:, 2] / 10.0))
+        return rgb
+
+    def get_filename(self):
+        return "test data"
+
+
+class PynbodyDataInMemory(AbstractDataLoader):
+    """Loader wrapping an already-open pynbody snapshot (host-side I/O only;
+    reference: loader.py:79-155)."""
+
+    _name_smooth_array = "smooth"
+
+    def __init__(self, snapshot):
+        self.snapshot = snapshot
+        pos = np.asarray(snapshot["pos"])
+        boxmin = pos.min()
+        boxmax = pos.max()
+        boxrange = boxmax - boxmin
+        self._initial_view_width = float(boxrange)
+        boxmin -= config.CELL_LAYOUT_FRACTIONAL_PADDING * boxrange
+        boxmax += config.CELL_LAYOUT_FRACTIONAL_PADDING * boxrange
+        self._cell_layout, ordering = CellLayout.from_positions(
+            pos, boxmin, boxmax, config.DEFAULT_CELLS_NSIDE)
+        self._particle_order = ordering[self._cell_layout.randomize_within_cells()][self._lod_order()]
+        self._position_units = str(snapshot["pos"].units)
+
+    def __len__(self):
+        return len(self.snapshot)
+
+    def get_positions(self):
+        return np.asarray(self.snapshot["pos"]).astype(np.float32)[self._particle_order]
+
+    def get_smooth(self):
+        return np.asarray(self.snapshot[self._name_smooth_array]).astype(np.float32)[self._particle_order]
+
+    def get_mass(self):
+        return np.asarray(self.snapshot["mass"]).astype(np.float32)[self._particle_order]
+
+    def get_named_quantity(self, name):
+        qty = self.snapshot[name]
+        if len(qty.shape) == 2:
+            qty = qty[:, 0]
+        return np.asarray(qty).astype(np.float32)[self._particle_order]
+
+    def get_quantity_names(self):
+        return self.snapshot.loadable_keys()
+
+    def get_quantity_label(self, quantity_name):
+        if quantity_name is None:
+            return r"density / $M_{\odot} / \mathrm{kpc}^2$"
+        lunit = self.snapshot[quantity_name].units.latex()
+        if lunit != "":
+            lunit = "$/" + lunit + "$"
+        return quantity_name + lunit
+
+    def _effective_mass_for_band(self, band):
+        return (10 ** (-0.4 * np.asarray(self.snapshot[band + "_mag"])))[self._particle_order]
+
+    def get_rgb_masses(self):
+        """SSP I/V/U band magnitudes converted to linear 'masses'
+        (reference: loader.py:115-121)."""
+        rgb = np.empty((len(self.snapshot), 3), dtype=np.float32)
+        rgb[:, 0] = self._effective_mass_for_band("I") * 0.5
+        rgb[:, 1] = self._effective_mass_for_band("V")
+        rgb[:, 2] = self._effective_mass_for_band("U")
+        rgb[np.isnan(rgb)] = 0.0
+        return rgb
+
+    def get_position_units(self):
+        return self._position_units
+
+    def get_periodicity_scale(self):
+        if "boxsize" in self.snapshot.properties:
+            return float(self.snapshot.properties["boxsize"].in_units("kpc"))
+        return None
+
+    def get_initial_view_width(self):
+        return self._initial_view_width
+
+    def get_filename(self):
+        return self.snapshot.filename
+
+    def get_cell_ids(self):
+        if self._cell_layout is None:
+            return None
+        return self._cell_layout.cell_ids_per_particle()[self._lod_order()]
+
+
+class PynbodyDataLoader(PynbodyDataInMemory):
+    """Loads a snapshot file via pynbody: physical units, family selection,
+    centering, smoothing-length computation with an on-disk cache
+    (reference: loader.py:157-238)."""
+
+    _name_smooth_array = "topsy_smooth"
+
+    def __init__(self, filename: str, center: str = "none", particle: str = "dm",
+                 take_region=None):
+        pynbody = _import_pynbody()
+        logger.info("Loading %s (center=%s, particle=%s)", filename, center, particle)
+        if take_region is None:
+            snapshot = pynbody.load(filename)
+        else:
+            snapshot = pynbody.load(filename, take_region=take_region)
+        snapshot.physical_units()
+        self.filename = filename
+
+        fam = pynbody.family.get_family(particle)
+        snapshot = snapshot[fam]
+        self._family_name = fam.name
+
+        _ = snapshot["pos"]
+        if np.ptp(snapshot["pos"]) < 1.0:
+            logger.info("Positions span <1 kpc; re-expressing in AU")
+            snapshot.physical_units("au")
+
+        self.snapshot = snapshot
+        self._perform_centering(center)
+        super().__init__(snapshot)
+        self._perform_smoothing()
+
+    @property
+    def _smooth_cache_filename(self):
+        return f"{self.filename}-topsy-smooth-{self._family_name}.pkl"
+
+    def _perform_centering(self, center: str):
+        pynbody = _import_pynbody()
+        if center.startswith("halo-"):
+            halo_number = int(center[5:])
+            h = self.snapshot.ancestor.halos()
+            cen = pynbody.analysis.halo.center(h[halo_number], return_cen=True)
+        elif center == "zoom":
+            f_dm = self.snapshot.ancestor.dm
+            cen = pynbody.analysis.halo.center(
+                f_dm[f_dm["mass"] < 1.01 * f_dm["mass"].min()], return_cen=True)
+        elif center == "all":
+            cen = pynbody.analysis.halo.center(self.snapshot, return_cen=True)
+        elif center == "none":
+            cen = np.zeros(3)
+        else:
+            raise ValueError("Unknown centering type")
+        self._initial_center = cen
+
+    def get_initial_center(self):
+        return self._initial_center
+
+    def _perform_smoothing(self):
+        pynbody = _import_pynbody()
+        try:
+            smooth = pickle.load(open(self._smooth_cache_filename, "rb"))
+            if len(smooth) != len(self.snapshot):
+                raise ValueError("Incorrect number of particles in cached smoothing data")
+            self.snapshot[self._name_smooth_array] = smooth
+            logger.info("Loaded cached smoothing lengths")
+        except Exception:
+            logger.info("Computing smoothing lengths (cached for future runs)")
+            self.snapshot[self._name_smooth_array] = pynbody.sph.smooth(self.snapshot)
+            try:
+                pickle.dump(self.snapshot[self._name_smooth_array],
+                            open(self._smooth_cache_filename, "wb"))
+            except IOError:
+                logger.warning("Unable to save smoothing data to disk")
+
+
+def _import_pynbody():
+    try:
+        import pynbody
+    except ImportError as exc:  # pragma: no cover
+        raise ImportError(
+            "pynbody is required to load simulation snapshot files. "
+            "Install it, or use synthetic data via topsy_tpu.test() / 'test://N'."
+        ) from exc
+    return pynbody

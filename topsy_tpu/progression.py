@@ -1,0 +1,197 @@
+"""Time-budgeted progressive-rendering scheduler.
+
+Host-side logic deciding how many particles to splat each frame, matching the
+reference scheduler's behaviour (reference: src/topsy/progressive_render.py):
+
+* each interactive frame renders one block sized from an adaptive
+  recommendation targeting 1/TARGET_FPS seconds;
+* the recommendation is updated from measured render time with log2-damped
+  feedback (reference: progressive_render.py:88-103);
+* EXPORT frames render everything in bounded chunks;
+* REFINE frames continue from where the previous frame stopped;
+* a mass scale-factor N_total / N_rendered keeps partial renders
+  photometrically correct (reference: progressive_render.py:42-46).
+
+The cell-aware variant converts logical particle fractions into *contiguous
+device ranges* thanks to the interleaved LOD ordering (see
+cells.CellLayout.interleave_order), rather than into per-cell range lists as
+the reference does — the selected particle sets are identical.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+
+from . import config
+from .cells import CellLayout
+from .drawreason import DrawReason
+
+
+class RenderProgression:
+    """Recommends particle blocks to render, adapting to measured timings."""
+
+    def __init__(self, total_particles: int, initial_particles: int | None = None):
+        if initial_particles is None:
+            initial_particles = int(config.INITIAL_PARTICLES_TO_RENDER)
+        self._recommended = min(initial_particles, total_particles)
+        self._start_index = 0
+        self._total = total_particles
+        self._reason: DrawReason | None = None
+        self._last_block_len = 1
+
+    # -- frame lifecycle ------------------------------------------------------
+
+    def start_frame(self, draw_reason: DrawReason) -> bool:
+        """Begin a frame; returns True if particle ranges must be refreshed."""
+        self._reason = draw_reason
+        self._first_block = True
+        self._rendered_in_frame = 0
+        self._time_in_frame = 0.0
+        if draw_reason in (DrawReason.PRESENTATION_CHANGE, DrawReason.REFINE):
+            return False
+        self._start_index = 0
+        return True
+
+    def get_block(self, time_elapsed_in_frame: float):
+        """Next (starts, lens) to render, or None when the frame is done."""
+        if self._reason is None:
+            raise RuntimeError("get_block called without a current frame")
+        if self._reason == DrawReason.PRESENTATION_CHANGE:
+            return None
+        if self._start_index >= self._total:
+            return None
+
+        if self._reason == DrawReason.EXPORT:
+            remaining = self._total - self._start_index
+            cap = int(config.MAX_PARTICLES_PER_EXPORT_RENDERCALL
+                      / self.get_fraction_volume_selected())
+            n = min(remaining, cap)
+        else:
+            if self._first_block:
+                time_available = 1.0 / config.TARGET_FPS
+                self._first_block = False
+            else:
+                time_available = 1.0 / config.TARGET_FPS - time_elapsed_in_frame
+            if time_available <= config.FRAME_BUDGET_CUTOFF_FRACTION / config.TARGET_FPS:
+                # not enough budget left; a REFINE frame will continue later
+                return None
+            n = int(self._recommended * time_available * config.TARGET_FPS)
+            n = min(n, self._total - self._start_index)
+
+        self._last_block_len = n
+        return self._block_for_logical_range(self._start_index, n)
+
+    def end_block(self, time_elapsed_in_frame: float):
+        self._start_index += self._last_block_len
+        self._rendered_in_frame += self._last_block_len
+        self._time_in_frame = time_elapsed_in_frame
+
+    def end_frame_get_scalefactor(self) -> float:
+        """Finish the frame; returns N_total / N_rendered for photometry."""
+        self._adapt_recommendation()
+        self._reason = None
+        return self._total / self._start_index
+
+    def needs_refine(self) -> bool:
+        return self._start_index < self._total
+
+    # -- internals -------------------------------------------------------------
+
+    def _block_for_logical_range(self, start: int, length: int):
+        return ([start], [length])
+
+    def _adapt_recommendation(self):
+        achievable = int(self._rendered_in_frame
+                         / max(self._time_in_frame * config.TARGET_FPS, 1e-9))
+        achievable = max(1, min(achievable, self._total))
+        if self._reason == DrawReason.REFINE:
+            return
+        log2_change = abs(math.log2(achievable) - math.log2(self._recommended))
+        if log2_change > 1.5:
+            # way off: jump straight to the achievable number
+            self._recommended = achievable
+        elif log2_change > 0.3:
+            # modest mismatch: damped geometric update
+            self._recommended = int(achievable ** 0.3 * self._recommended ** 0.7)
+
+    # -- geometry selection (no-op without cells) -------------------------------
+
+    def get_max_particle_regions_per_block(self) -> int:
+        return 1
+
+    def select_sphere(self, cen, radius):
+        pass
+
+    def select_all(self):
+        pass
+
+    def get_fraction_volume_selected(self) -> float:
+        return 1.0
+
+    def get_selected_cell_mask(self):
+        """Boolean mask over cells for geometric culling (None = no culling)."""
+        return None
+
+
+class RenderProgressionWithCells(RenderProgression):
+    """Progression with per-cell fair subsampling and spherical cell culling.
+
+    Requires the particle arrays to be stored in the interleaved LOD order
+    produced by ``CellLayout.interleave_order`` (same phase shifts/seed):
+    logical fractions then map to contiguous prefix ranges.
+    """
+
+    def __init__(self, cell_layout: CellLayout, total_particles: int,
+                 initial_particles: int | None = None, seed: int = 1337):
+        super().__init__(total_particles, initial_particles)
+        self._cell_layout = cell_layout
+        self._phase_shifts = cell_layout.default_phase_shifts(seed)
+        self._selected_cells = np.arange(cell_layout.get_num_cells())
+        self._selection_mask = np.ones(cell_layout.get_num_cells(), dtype=bool)
+        self._selection_generation = 0
+
+    def get_max_particle_regions_per_block(self) -> int:
+        # device ranges are contiguous in interleave order: always one region
+        return 1
+
+    def _prefix(self, fraction: float) -> int:
+        return self._cell_layout.prefix_length_for_fraction(fraction, self._phase_shifts)
+
+    def _block_for_logical_range(self, start: int, length: int):
+        if length == self._total:
+            return ([0], [self._total])
+        f0 = start / self._total
+        f1 = (start + length) / self._total
+        p0 = self._prefix(f0)
+        p1 = self._prefix(f1)
+        return ([p0], [p1 - p0])
+
+    def select_all(self):
+        self._selected_cells = np.arange(self._cell_layout.get_num_cells())
+        self._refresh_selection_mask()
+
+    def select_sphere(self, cen, radius):
+        self._selected_cells = self._cell_layout.cells_in_sphere(cen, radius)
+        self._refresh_selection_mask()
+
+    def _refresh_selection_mask(self):
+        mask = np.zeros(self._cell_layout.get_num_cells(), dtype=bool)
+        mask[self._selected_cells] = True
+        if not np.array_equal(mask, self._selection_mask):
+            self._selection_mask = mask
+            self._selection_generation += 1
+
+    def get_fraction_volume_selected(self) -> float:
+        return max(1, len(self._selected_cells)) / self._cell_layout.get_num_cells()
+
+    def get_selected_cell_mask(self):
+        if self._selection_mask.all():
+            return None
+        return self._selection_mask
+
+    @property
+    def selection_generation(self) -> int:
+        """Increments whenever the cell selection changes (for cache reuse)."""
+        return self._selection_generation
