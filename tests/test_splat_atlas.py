@@ -1,0 +1,98 @@
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from topsy_tpu import camera
+from topsy_tpu.loaders import TestDataLoader
+from topsy_tpu.ops import splat, splat_atlas
+
+
+RES = 128
+SCALE = 200.0
+
+
+def make_matrix(rot=None, offset=(0, 0, 0), scale=SCALE):
+    return camera.world_to_clip_matrix(np.eye(3) if rot is None else rot,
+                                       np.asarray(offset, dtype=float), scale)
+
+
+def render_atlas(ps, vals, matrix, res=RES, scale=SCALE):
+    im, dropped = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                          jnp.asarray(matrix), res, scale)
+    return np.asarray(im), int(dropped)
+
+
+def render_scatter(ps, vals, matrix, res=RES, scale=SCALE):
+    return np.asarray(splat.splat_scatter(jnp.asarray(ps), jnp.asarray(vals),
+                                          jnp.asarray(matrix), res, scale))
+
+
+def pixel_area(scale=SCALE, res=RES):
+    return (2.0 * scale / res) ** 2
+
+
+def test_atlas_single_particle_mass():
+    for h in [4.0, 16.0, 60.0, 150.0]:
+        ps = np.array([[0.0, 0.0, 0.0, h]], dtype=np.float32)
+        vals = np.array([[3.0]], dtype=np.float32)
+        im, dropped = render_atlas(ps, vals, make_matrix())
+        assert dropped == 0
+        total = im[:, :, 0].sum() * pixel_area()
+        assert total == pytest.approx(3.0, rel=0.02), f"h={h}"
+        ys, xs = np.mgrid[0:RES, 0:RES]
+        assert (im[:, :, 0] * xs).sum() / im[:, :, 0].sum() == pytest.approx(63.5, abs=0.1)
+        assert (im[:, :, 0] * ys).sum() / im[:, :, 0].sum() == pytest.approx(63.5, abs=0.1)
+
+
+def test_atlas_matches_scatter_gmm():
+    loader = TestDataLoader(20000, seed=1337)
+    ps = loader.get_pos_smooth()
+    mass = loader.get_mass()
+    qty = loader.get_named_quantity("test-quantity")
+    vals = np.stack([mass, mass * qty], axis=1)
+    m = make_matrix()
+    im_a, dropped = render_atlas(ps, vals, m)
+    im_s = render_scatter(ps, vals, m)
+    assert dropped == 0
+    # same distribution (the two paths use slightly different kernel
+    # evaluation — low-rank polynomials vs radial table)
+    assert im_a[:, :, 0].mean() == pytest.approx(im_s[:, :, 0].mean(), rel=0.005)
+    assert im_a[:, :, 0].std() == pytest.approx(im_s[:, :, 0].std(), rel=0.02)
+    corr = np.corrcoef(im_a[:, :, 0].ravel(), im_s[:, :, 0].ravel())[0, 1]
+    assert corr > 0.999
+    # weighted-quantity channel agrees too
+    valid = (im_a[:, :, 0] > im_a[:, :, 0].max() * 1e-3)
+    qa = im_a[:, :, 1][valid] / im_a[:, :, 0][valid]
+    qs = im_s[:, :, 1][valid] / im_s[:, :, 0][valid]
+    assert np.median(np.abs(qa - qs)) < 2e-7
+
+
+def test_atlas_sparse_scene_spills_but_conserves():
+    """Very sparse scenes exercise the spill pass; mass must be conserved."""
+    rng = np.random.RandomState(0)
+    n = 300
+    ps = np.zeros((n, 4), dtype=np.float32)
+    ps[:, :3] = rng.uniform(-150, 150, (n, 3))
+    ps[:, 3] = rng.uniform(3.0, 8.0, n)  # small splats at level 0, sparse
+    vals = np.ones((n, 1), dtype=np.float32)
+    im, dropped = render_atlas(ps, vals, make_matrix())
+    assert dropped == 0
+    ref = render_scatter(ps, vals, make_matrix())
+    assert im[:, :, 0].sum() == pytest.approx(ref[:, :, 0].sum(), rel=0.01)
+    corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_atlas_z_culling_and_mask():
+    ps = np.array([[0.0, 0.0, 0.0, 5.0],
+                   [0.0, 0.0, 500.0, 5.0]], dtype=np.float32)  # second z-culled
+    vals = np.ones((2, 1), dtype=np.float32)
+    im, _ = render_atlas(ps, vals, make_matrix())
+    assert im.sum() * pixel_area() == pytest.approx(1.0, rel=0.02)
+
+    mask = jnp.asarray([False, True])
+    im2, _ = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                     jnp.asarray(make_matrix()), RES, SCALE,
+                                     extra_mask=mask)
+    assert float(np.asarray(im2).sum()) == 0.0

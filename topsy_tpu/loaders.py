@@ -146,6 +146,8 @@ class TestDataLoader(AbstractDataLoader):
             offset = 0
             for i, weight in enumerate(self._gmm_weights):
                 cpt_len = int(n * weight)
+                if i == len(self._gmm_weights) - 1:
+                    cpt_len = n - offset  # absorb rounding remainder
                 samples = np.random.normal(size=(cpt_len, 3), scale=1.0).astype(np.float32)
                 pos[offset:offset + cpt_len] = samples * self._gmm_std[np.newaxis, i, :] + self._gmm_means[i]
                 offset += cpt_len

@@ -1,0 +1,234 @@
+"""The TPU fast-path splatter: sorted row-band accumulation via matmuls.
+
+XLA scatter on TPU serializes (~25M updates/s measured), so the rasterizer
+cannot be emulated with scatter-add.  Instead this backend exploits the
+separable low-rank kernel decomposition (ops/kernels.py):
+
+    deposit(dy, dx) = sum_k s_k * p_k((dy/h)^2) * p_k((dx/h)^2)
+
+For a group of G particles, all deposits into a (rows x cols) window are
+
+    out[r, (w, c)] = sum_{k, i} P[k, i, r] * (Q[k, i, w] * coef[i, c])
+
+— a single (rows x G*rank) @ (G*rank x W*C) matrix product that runs on the
+MXU.  The full pipeline is:
+
+1. project + level-assign particles (ops/splat.py front-end); all pyramid
+   levels live stacked in one padded "atlas" canvas so there is one code path;
+2. sort particles by (8-row atlas band, column) — one variadic ``lax.sort``
+   carrying the per-particle payload, so no gathers;
+3. ``lax.scan`` over fixed groups of sorted particles; each group accumulates
+   into a dynamically-positioned 64-row x 256-col window of the atlas;
+4. groups too sparse to fit their window spill into a bounded dense pass
+   (full-atlas matmul), executed only when spills exist;
+5. crop the levels out of the atlas, bilinearly upsample and sum.
+
+Everything is static-shaped; particle counts are handled by masking, so a
+given (bucket size, resolution, channels) compiles exactly once.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from . import kernels
+from .splat import (PyramidSpec, default_pyramid, lowrank_profiles_jnp,
+                    splat_coefficients)
+
+GROUP = 256                 # particles per matmul group
+WINDOW_ROWS = 64            # rows of the dynamic accumulation window
+WINDOW_COLS = 256           # cols of the dynamic accumulation window
+BAND = config.SPLAT_BAND_ROWS
+COL_PAD = config.SPLAT_ATLAS_COL_PAD
+ROW_PAD = config.SPLAT_ATLAS_PAD
+SPILL_CAP = config.SPLAT_SPILL_CAP
+FOOT = 8.0                  # footprint half-width in level pixels
+
+
+def atlas_layout(pyramid: PyramidSpec):
+    """Row offset of each level region in the atlas, and total atlas shape."""
+    row_offs = []
+    r = ROW_PAD
+    for res_l in pyramid.level_resolutions:
+        row_offs.append(r)
+        r += res_l + ROW_PAD
+    width = max(pyramid.resolution + 2 * COL_PAD, WINDOW_COLS)
+    return tuple(row_offs), r, width
+
+
+def _profiles(t2: jnp.ndarray, lrk) -> jnp.ndarray:
+    """(rank,) + t2.shape kernel profiles with eigen-signs folded in."""
+    p = lowrank_profiles_jnp(t2, lrk)
+    sign = jnp.asarray(lrk.signs)[(...,) + (None,) * t2.ndim]
+    return p * sign
+
+
+def splat_atlas(pos_smooth, values, matrix, resolution, scale,
+                extra_mask=None, pyramid: PyramidSpec | None = None):
+    """Matmul-based splatter; same contract as splat.splat_scatter.
+
+    Returns (image (res, res, C), spilled_dropped count).
+    """
+    if pyramid is None:
+        pyramid = default_pyramid(resolution)
+    lrk = kernels.lowrank_kernel()
+    parts = splat_coefficients(pos_smooth, values, matrix, resolution, scale,
+                               pyramid, extra_mask, mode="lowrank")
+    C = values.shape[1]
+    n = pos_smooth.shape[0]
+    n_pad = max(GROUP, ((n + GROUP - 1) // GROUP) * GROUP)
+
+    row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
+    res_per_level = jnp.asarray(pyramid.level_resolutions, dtype=jnp.float32)
+    row_offs_arr = jnp.asarray(row_offs, dtype=jnp.float32)
+
+    lev = parts["level"]
+    res_l = res_per_level[lev]
+    # clip centres into the guard margin so off-image splats deposit only
+    # into padding (cropped later) — same viewport clipping as the reference
+    margin = float(COL_PAD) - FOOT + 4.0  # 12 px
+    cy = jnp.clip(parts["cy"], -margin, res_l + margin)
+    cx = jnp.clip(parts["cx"], -margin, res_l + margin)
+    ay = row_offs_arr[lev] + cy
+    ax = COL_PAD + cx
+    inv_h = 1.0 / parts["h_eff"]
+    coef = parts["coef"]
+
+    band = jnp.floor(ay / BAND).astype(jnp.int32)
+    key = band * 2048 + jnp.floor(ax).astype(jnp.int32)
+
+    # pad to the static bucket; sentinels sort to the very end, in the last
+    # (guaranteed-padding) region of the atlas, with zero coefficients
+    sentinel_ay = float(atlas_rows - ROW_PAD + FOOT + 2.0)
+    sentinel_key = int(sentinel_ay // BAND) * 2048 + COL_PAD
+
+    def pad_to(x, fill):
+        return jnp.concatenate([x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
+
+    key = pad_to(key, sentinel_key)
+    ay = pad_to(ay, sentinel_ay)
+    ax = pad_to(ax, float(COL_PAD))
+    inv_h = pad_to(inv_h, 1.0)
+    coef = pad_to(coef, 0.0)
+
+    operands = (key, ay, ax, inv_h) + tuple(coef[:, c] for c in range(C))
+    sorted_ops = jax.lax.sort(operands, num_keys=1)
+    _, ay_s, ax_s, inv_h_s = sorted_ops[:4]
+    coef_s = jnp.stack(sorted_ops[4:], axis=-1)
+
+    n_groups = n_pad // GROUP
+    ay_g2 = ay_s.reshape(n_groups, GROUP)
+    ax_g2 = ax_s.reshape(n_groups, GROUP)
+    # window anchor per group: min row band / min column in the group
+    w0 = (jnp.floor(ay_g2.min(axis=1) / BAND).astype(jnp.int32) * BAND - 2 * BAND)
+    w0 = jnp.clip(w0, 0, atlas_rows - WINDOW_ROWS)
+    c0 = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
+    c0 = jnp.clip(c0, 0, atlas_cols - WINDOW_COLS)
+
+    w0_rep = jnp.repeat(w0, GROUP).astype(jnp.float32)
+    c0_rep = jnp.repeat(c0, GROUP).astype(jnp.float32)
+    fits = ((ay_s + FOOT < w0_rep + WINDOW_ROWS)
+            & (ax_s + FOOT < c0_rep + WINDOW_COLS)
+            & (ax_s - FOOT >= c0_rep))
+    coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
+
+    def group_contribution(ay_g, ax_g, inv_h_g, coef_g, w0_g, c0_g, rows, cols):
+        """(rows x G*rank) @ (G*rank x W*C) deposit for one particle group."""
+        n_rows = rows.shape[0]
+        dy = (w0_g + rows)[None, :] - ay_g[:, None]              # (G, R)
+        dx = (c0_g + cols)[None, :] - ax_g[:, None]              # (G, W)
+        ymask = (dy > -FOOT) & (dy <= FOOT)
+        xmask = (dx > -FOOT) & (dx <= FOOT)
+        ty2 = (dy * inv_h_g[:, None]) ** 2
+        tx2 = (dx * inv_h_g[:, None]) ** 2
+        P = _profiles(ty2, lrk) * ymask[None]                    # (K, G, R)
+        Q = lowrank_profiles_jnp(tx2, lrk) * xmask[None]         # (K, G, W)
+        # fold channel coefficients into the (small) row-profile side instead
+        # of materializing a (K, G, W, C) tensor
+        PC = P[:, :, :, None] * coef_g[None, :, None, :]         # (K, G, R, C)
+        PC2 = PC.reshape(-1, n_rows * C)                         # (K*G, R*C)
+        Q2 = Q.reshape(PC2.shape[0], -1)                         # (K*G, W)
+        out = jnp.einsum("xr,xw->rw", PC2, Q2,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(n_rows, C, -1).transpose(0, 2, 1)
+
+    rows_win = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+    cols_win = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
+
+    def body(atlas, inputs):
+        ay_g, ax_g, inv_h_g, coef_g, w0_g, c0_g = inputs
+        contrib = group_contribution(ay_g, ax_g, inv_h_g, coef_g,
+                                     w0_g.astype(jnp.float32),
+                                     c0_g.astype(jnp.float32),
+                                     rows_win, cols_win)
+        cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
+                                    (WINDOW_ROWS, WINDOW_COLS, C))
+        atlas = jax.lax.dynamic_update_slice(atlas, cur + contrib,
+                                             (w0_g, c0_g, 0))
+        return atlas, None
+
+    atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
+    per_group = (ay_g2, ax_g2,
+                 inv_h_s.reshape(n_groups, GROUP),
+                 coef_fit.reshape(n_groups, GROUP, C),
+                 w0, c0)
+    atlas, _ = jax.lax.scan(body, atlas0, per_group)
+
+    # ---- spill pass: particles too sparse for their group window ----------
+    spilled = ~fits & (jnp.abs(coef_s).sum(axis=1) > 0.0)
+    n_spill = spilled.sum()
+    spill_cap = min(SPILL_CAP, n_pad)
+
+    def do_spill(atlas):
+        big = jnp.int32(n_pad)
+        skey = jnp.where(spilled, jnp.arange(n_pad, dtype=jnp.int32), big)
+        ops = jax.lax.sort((skey, ay_s, ax_s, inv_h_s)
+                           + tuple(coef_s[:, c] for c in range(C)), num_keys=1)
+        valid = ops[0][:spill_cap] < big
+        s_ay = ops[1][:spill_cap]
+        s_ax = ops[2][:spill_cap]
+        s_ih = ops[3][:spill_cap]
+        s_coef = jnp.stack([o[:spill_cap] for o in ops[4:]], axis=-1)
+        s_coef = jnp.where(valid[:, None], s_coef, 0.0)
+
+        rows_full = jnp.arange(atlas_rows, dtype=jnp.float32)
+        cols_full = jnp.arange(atlas_cols, dtype=jnp.float32)
+
+        def sbody(atlas, inputs):
+            ay_g, ax_g, inv_h_g, coef_g = inputs
+            contrib = group_contribution(ay_g, ax_g, inv_h_g, coef_g,
+                                         jnp.float32(0.0), jnp.float32(0.0),
+                                         rows_full, cols_full)
+            return atlas + contrib, None
+
+        n_sgroups = spill_cap // GROUP
+        atlas, _ = jax.lax.scan(
+            sbody, atlas,
+            (s_ay.reshape(n_sgroups, GROUP), s_ax.reshape(n_sgroups, GROUP),
+             s_ih.reshape(n_sgroups, GROUP), s_coef.reshape(n_sgroups, GROUP, C)))
+        return atlas
+
+    atlas = jax.lax.cond(n_spill > 0, do_spill, lambda a: a, atlas)
+    dropped = jnp.maximum(n_spill - spill_cap, 0)
+
+    return collapse_atlas(atlas, pyramid), dropped
+
+
+def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
+    """Crop levels from the atlas, upsample coarse->fine and sum."""
+    row_offs, _, _ = atlas_layout(pyramid)
+    C = atlas.shape[-1]
+    levels = []
+    for l, res_l in enumerate(pyramid.level_resolutions):
+        r0 = row_offs[l]
+        levels.append(atlas[r0:r0 + res_l, COL_PAD:COL_PAD + res_l, :])
+    out = levels[-1]
+    for l in range(pyramid.num_levels - 2, -1, -1):
+        target = pyramid.level_resolutions[l]
+        up = jax.image.resize(out, (target, target, C), method="linear",
+                              antialias=False)
+        out = levels[l] + up
+    return out
