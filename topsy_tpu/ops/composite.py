@@ -1,0 +1,56 @@
+"""Image-space compositing helpers: fractional shifts and lattice sums.
+
+Used by periodic tiling (reference: src/topsy/periodic_sph.py): the rendered
+panel is replicated on a rotated lattice of offsets with per-instance
+weights; a fractional pixel shift with bilinear filtering matches the
+reference's linear-sampled instanced quads.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _integer_shift(im: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
+    """Shift by whole pixels, zero-filling the vacated region."""
+    H, W = im.shape[0], im.shape[1]
+    rolled = jnp.roll(jnp.roll(im, iy, axis=0), ix, axis=1)
+    rows = jnp.arange(H)[:, None]
+    cols = jnp.arange(W)[None, :]
+    valid_r = jnp.where(iy >= 0, rows >= iy, rows < H + iy)
+    valid_c = jnp.where(ix >= 0, cols >= ix, cols < W + ix)
+    return rolled * (valid_r & valid_c)[..., None]
+
+
+def shift_bilinear(im: jnp.ndarray, dy: jnp.ndarray, dx: jnp.ndarray) -> jnp.ndarray:
+    """Shift (H, W, C) by fractional (dy, dx) pixels with bilinear filtering."""
+    iy = jnp.floor(dy).astype(jnp.int32)
+    ix = jnp.floor(dx).astype(jnp.int32)
+    fy = dy - iy
+    fx = dx - ix
+    s00 = _integer_shift(im, iy, ix)
+    s01 = _integer_shift(im, iy, ix + 1)
+    s10 = _integer_shift(im, iy + 1, ix)
+    s11 = _integer_shift(im, iy + 1, ix + 1)
+    return (s00 * (1 - fy) * (1 - fx) + s01 * (1 - fy) * fx
+            + s10 * fy * (1 - fx) + s11 * fy * fx)
+
+
+@functools.partial(jax.jit, static_argnames=())
+def lattice_composite(image: jnp.ndarray, offsets_px: jnp.ndarray,
+                      weights: jnp.ndarray) -> jnp.ndarray:
+    """Sum weighted bilinear-shifted copies of ``image``.
+
+    offsets_px: (K, 2) as (dy, dx) pixel shifts; weights: (K,), zero-weight
+    instances are skipped numerically (they still cost a shift).
+    """
+    def body(acc, inp):
+        off, w = inp
+        shifted = shift_bilinear(image, off[0], off[1])
+        return acc + shifted * w, None
+
+    out, _ = jax.lax.scan(body, jnp.zeros_like(image), (offsets_px, weights))
+    return out

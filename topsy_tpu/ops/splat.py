@@ -137,15 +137,20 @@ def norm_factor(h_eff: jnp.ndarray, mode: str) -> jnp.ndarray:
 
 
 def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
-                       pyramid: PyramidSpec, extra_mask=None, mode="exact"):
+                       pyramid: PyramidSpec, extra_mask=None, mode="exact",
+                       depth_channel=False):
     """Shared front-end: projection, level assignment, deposit coefficients.
 
     Returns a dict of per-particle arrays: level, centre in level px
     (cx_l, cy_l), effective smoothing h_eff (level px), weighted channel
     coefficients coef (N, C) such that the deposit at a level pixel is
-    coef * K(d / h_eff).
+    coef * K(d / h_eff).  With ``depth_channel``, an extra channel
+    values[:, 0] * clip_z is appended (the reference's vertex_depth path,
+    reference: shaders/sph.wgsl:86-91).
     """
     cx, cy, z01, h_px, visible = project(pos_smooth, matrix, resolution, scale)
+    if depth_channel:
+        values = jnp.concatenate([values, values[:, :1] * z01[:, None]], axis=1)
     lev, h_eff = assign_levels(h_px, pyramid.num_levels)
     lev_scale = jnp.exp2(lev.astype(jnp.float32))
 
@@ -205,13 +210,15 @@ def lowrank_profiles_jnp(t2: jnp.ndarray, lrk: kernels.LowRankKernel) -> jnp.nda
 # ---------------------------------------------------------------------------
 
 def splat_scatter(pos_smooth, values, matrix, resolution, scale,
-                  extra_mask=None, pyramid: PyramidSpec | None = None):
+                  extra_mask=None, pyramid: PyramidSpec | None = None,
+                  depth_channel=False):
     """Windowed scatter-add splatter.  (N,4) x (N,C) -> (res, res, C)."""
     if pyramid is None:
         pyramid = default_pyramid(resolution)
     parts = splat_coefficients(pos_smooth, values, matrix, resolution, scale,
-                               pyramid, extra_mask, mode="exact")
-    C = values.shape[1]
+                               pyramid, extra_mask, mode="exact",
+                               depth_channel=depth_channel)
+    C = values.shape[1] + (1 if depth_channel else 0)
     lev, cx, cy, h_eff, coef = (parts["level"], parts["cx"], parts["cy"],
                                 parts["h_eff"], parts["coef"])
 

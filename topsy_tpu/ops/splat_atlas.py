@@ -67,7 +67,8 @@ def _profiles(t2: jnp.ndarray, lrk) -> jnp.ndarray:
 
 
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
-                extra_mask=None, pyramid: PyramidSpec | None = None):
+                extra_mask=None, pyramid: PyramidSpec | None = None,
+                depth_channel=False):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
     Returns (image (res, res, C), spilled_dropped count).
@@ -76,8 +77,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         pyramid = default_pyramid(resolution)
     lrk = kernels.lowrank_kernel()
     parts = splat_coefficients(pos_smooth, values, matrix, resolution, scale,
-                               pyramid, extra_mask, mode="lowrank")
-    C = values.shape[1]
+                               pyramid, extra_mask, mode="lowrank",
+                               depth_channel=depth_channel)
+    C = values.shape[1] + (1 if depth_channel else 0)
     n = pos_smooth.shape[0]
     n_pad = max(GROUP, ((n + GROUP - 1) // GROUP) * GROUP)
 

@@ -1,0 +1,235 @@
+"""SPH renderer classes: the render loop around the splat core.
+
+Mirrors the reference render-core contract (reference: src/topsy/sph.py:22-
+332): ``render(draw_reason)`` runs the adaptive block loop with per-block
+device timing feeding the LOD scheduler; ``get_image()`` returns the raw
+(unmapped) framebuffer scaled by the photometric mass factor; camera state
+(rotation_matrix / position_offset / scale) lives on the renderer.  The
+subclass grid selects channel semantics:
+
+=====================  ===========================  =======================
+class                  reference analogue           channels
+=====================  ===========================  =======================
+SPHRenderer            SPH (rg32float weighting)    (m, m*qty)
+RGBSPHRenderer         RGBSPH (rgba32float)         (I, V, U) band masses
+DepthSPHRenderer       DepthSPH                     (m, m*clip_z)
+SurfaceSPHRenderer     DepthSPHWithOcclusion        see render/surface.py
+=====================  ===========================  =======================
+"""
+
+from __future__ import annotations
+
+import copy
+import functools
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import config
+from ..camera import world_to_clip_matrix
+from ..drawreason import DrawReason
+from ..ops import splat, splat_atlas
+from ..util import TimeDeviceOperation
+from .store import ParticleStore, bucket_size
+
+logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "bucket", "depth_channel",
+                                    "backend"))
+def _render_block(pos_smooth, values, cell_ids, cell_table, matrix, scale,
+                  start, count, *, resolution, bucket, depth_channel, backend):
+    """Render one LOD block [start, start+count) into a fresh framebuffer.
+
+    All arrays are the full padded stores; the block is realized as a
+    dynamic_slice of a static ``bucket`` length plus masking, so each bucket
+    size compiles once.
+    """
+    n_pad = pos_smooth.shape[0]
+    sl = jnp.clip(start, 0, n_pad - bucket)
+    ps = jax.lax.dynamic_slice(pos_smooth, (sl, 0), (bucket, 4))
+    vals = jax.lax.dynamic_slice(values, (sl, 0), (bucket, values.shape[1]))
+    ids = jax.lax.dynamic_slice(cell_ids, (sl,), (bucket,))
+    idx = sl + jnp.arange(bucket, dtype=jnp.int32)
+    mask = (idx >= start) & (idx < start + count) & cell_table[ids]
+
+    if backend == "atlas":
+        im, dropped = splat_atlas.splat_atlas(ps, vals, matrix, resolution,
+                                              scale, extra_mask=mask,
+                                              depth_channel=depth_channel)
+    else:
+        im = splat.splat_scatter(ps, vals, matrix, resolution, scale,
+                                 extra_mask=mask, depth_channel=depth_channel)
+        dropped = jnp.int32(0)
+    return im, dropped
+
+
+def default_backend() -> str:
+    return "atlas"
+
+
+class SPHRenderer:
+    """Density / mass-weighted-quantity renderer (2 channels)."""
+
+    _buffer_name = "mass_and_quantity"
+    _depth_channel = False
+
+    def __init__(self, store: ParticleStore, render_progression,
+                 resolution: int, wrapping: bool = False,
+                 backend: str | None = None,
+                 share_render_progression=None):
+        self._store = store
+        self._resolution = resolution
+        self._wrapping = wrapping
+        self._backend = backend or default_backend()
+        self._render_progression = (share_render_progression
+                                    if share_render_progression is not None
+                                    else render_progression)
+        self._render_timer = TimeDeviceOperation(config.GPU_TIMING_SMOOTH_WINDOW)
+
+        self.scale = config.DEFAULT_SCALE
+        self.rotation_matrix = np.eye(3)
+        self.position_offset = np.zeros(3)
+        self.has_rendered = False
+        self.last_render_mass_scale = 1.0
+        self.last_render_fps = 0.0
+
+        self._image = None
+        self._cell_table = store.cell_mask_table(None)
+        self._cell_table_generation = None
+
+    # -- public API (reference: sph.py:100-144) --------------------------------
+
+    @property
+    def resolution(self) -> int:
+        return self._resolution
+
+    @property
+    def render_progression(self):
+        return self._render_progression
+
+    def invalidate(self, draw_reason=DrawReason.CHANGE):
+        if draw_reason not in (DrawReason.REFINE, DrawReason.PRESENTATION_CHANGE):
+            self.has_rendered = False
+
+    def needs_refine(self) -> bool:
+        return self._render_progression.needs_refine()
+
+    def get_output_image(self):
+        """The raw framebuffer as a device array (unscaled)."""
+        return self._image
+
+    def get_image(self) -> np.ndarray:
+        """Raw SPH map as numpy, photometrically rescaled for partial renders
+        (reference: sph.py:118-125)."""
+        return self._get_image_unscaled() * self.last_render_mass_scale
+
+    def _get_image_unscaled(self) -> np.ndarray:
+        if not self.has_rendered:
+            logger.info("Triggering export-quality render (no render yet)")
+            self.render(DrawReason.EXPORT)
+        return np.asarray(self._image)
+
+    def get_depth_image(self, depth_renderer_reason=DrawReason.CHANGE) -> np.ndarray:
+        """Weighted mean depth in world units, for UI point-of-interest picks
+        (reference: sph.py:100-116)."""
+        depth_renderer = self._get_depth_renderer()
+        depth_renderer.render(depth_renderer_reason)
+        image = depth_renderer.get_image()
+        depth_viewport = image[..., -1] / image[..., 0]
+        return (depth_viewport - 0.5) * self.scale * 2.0
+
+    def _get_depth_renderer(self) -> "DepthSPHRenderer":
+        r = DepthSPHRenderer(self._store, None, self._resolution,
+                             wrapping=self._wrapping, backend=self._backend,
+                             share_render_progression=copy.copy(self._render_progression))
+        r.rotation_matrix = self.rotation_matrix
+        r.position_offset = self.position_offset
+        r.scale = self.scale
+        return r
+
+    # -- render loop (reference: sph.py:306-332) --------------------------------
+
+    def render(self, draw_reason=DrawReason.CHANGE):
+        if draw_reason == DrawReason.PRESENTATION_CHANGE:
+            return
+
+        prog = self._render_progression
+        if draw_reason != DrawReason.REFINE:
+            prog.select_sphere(-np.asarray(self.position_offset), self.scale * 1.2)
+            self._refresh_cell_table()
+
+        matrix = jnp.asarray(self._matrix(), dtype=jnp.float32)
+        scale = jnp.float32(self.scale)
+        values = self._store.values_for(self._buffer_name)
+
+        clear = prog.start_frame(draw_reason)
+        del clear  # framebuffer accumulation restarts unless REFINE continues
+
+        if draw_reason not in (DrawReason.REFINE,) or self._image is None:
+            first_block = True
+        else:
+            first_block = False
+
+        while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
+            starts, lens = block
+            for s, l in zip(starts, lens):
+                if l <= 0:
+                    continue
+                bucket = bucket_size(l, self._store.n_pad)
+                # oversized blocks are rendered in bucket-sized pieces
+                for piece in range(0, l, bucket):
+                    with self._render_timer:
+                        im, _ = _render_block(
+                            self._store.pos_smooth, values,
+                            self._store.cell_ids, self._cell_table,
+                            matrix, scale,
+                            jnp.int32(s + piece),
+                            jnp.int32(min(bucket, l - piece)),
+                            resolution=self._resolution, bucket=bucket,
+                            depth_channel=self._depth_channel,
+                            backend=self._backend)
+                        if first_block:
+                            self._image = im
+                            first_block = False
+                        else:
+                            self._image = self._image + im
+                        jax.block_until_ready(self._image)
+            prog.end_block(self._render_timer.total_time_in_frame())
+
+        self._render_timer.end_frame()
+        self.last_render_mass_scale = prog.end_frame_get_scalefactor()
+        mean = self._render_timer.running_mean_duration
+        self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
+        self.has_rendered = True
+        self._postprocess_frame()
+
+    def _postprocess_frame(self):
+        """Hook for subclasses (periodic tiling etc.)."""
+
+    def _matrix(self) -> np.ndarray:
+        return world_to_clip_matrix(self.rotation_matrix, self.position_offset,
+                                    self.scale)
+
+    def _refresh_cell_table(self):
+        prog = self._render_progression
+        gen = getattr(prog, "selection_generation", None)
+        if gen != self._cell_table_generation or self._cell_table is None:
+            mask = prog.get_selected_cell_mask()
+            self._cell_table = self._store.cell_mask_table(mask)
+            self._cell_table_generation = gen
+
+
+class RGBSPHRenderer(SPHRenderer):
+    """Three-band (I, V, U) stellar-light renderer (reference: sph.py:432-439)."""
+
+    _buffer_name = "rgb"
+
+
+class DepthSPHRenderer(SPHRenderer):
+    """Adds a mass-weighted clip-depth channel (reference: sph.py:443-446)."""
+
+    _depth_channel = True

@@ -1,0 +1,114 @@
+"""Device-resident particle storage.
+
+The TPU analogue of the reference's GPU vertex buffers (reference:
+src/topsy/particle_buffers.py, split_buffers.py): positions+smoothing,
+channel values and cell ids live in HBM, uploaded once (values lazily
+re-uploaded when the selected quantity changes).  There is no buffer-size
+splitting — XLA manages HBM — but arrays are padded to a group multiple so
+the splatter never re-pads, and dynamic LOD ranges are realized as
+``dynamic_slice`` + masking over static "bucket" sizes so each bucket
+compiles exactly once (the analogue of the reference's indirect-draw-buffer
+trick, reference: particle_buffers.py:27-46).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..loaders import AbstractDataLoader
+
+logger = logging.getLogger(__name__)
+
+PAD_MULTIPLE = 512
+MIN_BUCKET = 4096
+
+
+def bucket_size(n: int, n_max: int) -> int:
+    """Smallest power-of-two bucket >= n (clamped to [MIN_BUCKET, n_max])."""
+    b = MIN_BUCKET
+    while b < n:
+        b *= 2
+    return min(b, n_max)
+
+
+class ParticleStore:
+    """Uploads and owns the device particle arrays for one loader."""
+
+    def __init__(self, data_loader: AbstractDataLoader, device=None):
+        self._loader = data_loader
+        self._device = device
+        self.n = len(data_loader)
+        self.n_pad = max(MIN_BUCKET,
+                         ((self.n + PAD_MULTIPLE - 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
+        self._quantity_name: str | None = None
+
+        pos_smooth = data_loader.get_pos_smooth()
+        self.pos_smooth = self._put(self._pad(pos_smooth))
+
+        self._mass = data_loader.get_mass().astype(np.float32)
+        self.mass_and_quantity = self._put(
+            self._pad(np.stack([self._mass, np.zeros_like(self._mass)], axis=1)))
+        self._rgb = None
+
+        cell_ids = data_loader.get_cell_ids()
+        if cell_ids is None:
+            cell_ids = np.zeros(self.n, dtype=np.int32)
+            self.n_cells = 1
+        else:
+            self.n_cells = int(cell_ids.max()) + 1 if len(cell_ids) else 1
+        self.cell_ids = self._put(self._pad(cell_ids.astype(np.int32)))
+        self._all_cells_mask = self._put(np.ones(self.n_cells, dtype=bool))
+
+    def _pad(self, arr: np.ndarray) -> np.ndarray:
+        pad = self.n_pad - len(arr)
+        if pad == 0:
+            return arr
+        return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
+    def _put(self, arr: np.ndarray):
+        return jax.device_put(arr, self._device)
+
+    # -- channel buffers -------------------------------------------------------
+
+    @property
+    def quantity_name(self) -> str | None:
+        return self._quantity_name
+
+    @quantity_name.setter
+    def quantity_name(self, name: str | None):
+        """Lazily rebuild the (mass, mass*quantity) channel buffer
+        (reference: particle_buffers.py:93-102)."""
+        if name == self._quantity_name:
+            return
+        if name is None:
+            mq = np.stack([self._mass, np.zeros_like(self._mass)], axis=1)
+        else:
+            qty = self._loader.get_named_quantity(name).astype(np.float32)
+            mq = np.stack([self._mass, self._mass * qty], axis=1)
+        self.mass_and_quantity = self._put(self._pad(mq))
+        self._quantity_name = name
+        logger.info("Rebuilt quantity channel buffer for %r", name)
+
+    @property
+    def rgb(self):
+        if self._rgb is None:
+            self._rgb = self._put(self._pad(
+                self._loader.get_rgb_masses().astype(np.float32)))
+        return self._rgb
+
+    def values_for(self, buffer_name: str):
+        if buffer_name == "mass_and_quantity":
+            return self.mass_and_quantity
+        if buffer_name == "rgb":
+            return self.rgb
+        raise KeyError(buffer_name)
+
+    def cell_mask_table(self, selected_mask: np.ndarray | None):
+        """Device bool table over cells (True = render), for geometric culling."""
+        if selected_mask is None:
+            return self._all_cells_mask
+        return self._put(np.asarray(selected_mask, dtype=bool))

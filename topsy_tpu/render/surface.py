@@ -1,0 +1,131 @@
+"""Occlusion (surface) renderer: front-most-fragment semantics.
+
+Mirrors the reference's DepthSPHWithOcclusion (reference: src/topsy/sph.py:
+459-656): particles above a density-percentile cut render as hemispheres
+with a greater-compare depth test; output channels are (quantity value,
+surface depth).  Blocks combine by depth max-compositing instead of
+accumulation, and the photometric mass scale is unity (max semantics).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..drawreason import DrawReason
+from ..ops import zsplat
+from .sph import SPHRenderer
+from .store import ParticleStore
+
+
+@functools.partial(jax.jit, static_argnames=("resolution", "bucket"))
+def _render_block_surface(pos_smooth, values, cell_ids, cell_table, matrix,
+                          scale, density_cut, start, count, *,
+                          resolution, bucket):
+    n_pad = pos_smooth.shape[0]
+    sl = jnp.clip(start, 0, n_pad - bucket)
+    ps = jax.lax.dynamic_slice(pos_smooth, (sl, 0), (bucket, 4))
+    vals = jax.lax.dynamic_slice(values, (sl, 0), (bucket, values.shape[1]))
+    ids = jax.lax.dynamic_slice(cell_ids, (sl,), (bucket,))
+    idx = sl + jnp.arange(bucket, dtype=jnp.int32)
+    mask = (idx >= start) & (idx < start + count) & cell_table[ids]
+    return zsplat.zsplat_scatter(ps, vals, matrix, resolution, scale,
+                                 density_cut=density_cut, extra_mask=mask)
+
+
+@jax.jit
+def _max_composite(a, b):
+    """Combine two (value, depth) maps keeping the front-most fragment."""
+    front = b[..., 1] > a[..., 1]
+    return jnp.where(front[..., None], b, a)
+
+
+class SurfaceSPHRenderer(SPHRenderer):
+    """Front-most surface renderer with density cut."""
+
+    _buffer_name = "mass_and_quantity"
+    _rho_percentiles_num_samples = 101
+
+    def __init__(self, store: ParticleStore, render_progression,
+                 resolution: int, wrapping: bool = False,
+                 backend: str | None = None, share_render_progression=None):
+        super().__init__(store, render_progression, resolution,
+                         wrapping=wrapping, backend=backend,
+                         share_render_progression=share_render_progression)
+        loader = store._loader
+        self._percentile_to_den_cut = zsplat.density_cut_percentiles(
+            loader.get_mass(), loader.get_smooth(),
+            self._rho_percentiles_num_samples)
+        lo, hi = self.get_density_cut_percentile_range()
+        self._cut_val = 0.5 * (lo + hi)
+
+    # -- density cut API (reference: sph.py:503-515) ----------------------------
+
+    def get_density_cut_percentile(self):
+        return self._cut_val
+
+    def set_density_cut_percentile(self, value):
+        self._cut_val = value
+
+    def get_density_cut_percentile_range(self):
+        return 0.0, 100.0
+
+    def _density_cut_value(self) -> float:
+        i = int(self._cut_val / 100.0 * (self._rho_percentiles_num_samples - 1))
+        return float(self._percentile_to_den_cut[i])
+
+    # -- render ------------------------------------------------------------------
+
+    def render(self, draw_reason=DrawReason.CHANGE):
+        if draw_reason == DrawReason.PRESENTATION_CHANGE:
+            return
+        prog = self._render_progression
+        if draw_reason != DrawReason.REFINE:
+            prog.select_sphere(-np.asarray(self.position_offset), self.scale * 1.2)
+            self._refresh_cell_table()
+
+        matrix = jnp.asarray(self._matrix(), dtype=jnp.float32)
+        scale = jnp.float32(self.scale)
+        cut = jnp.float32(self._density_cut_value())
+        values = self._store.values_for(self._buffer_name)
+
+        prog.start_frame(draw_reason)
+        first_block = draw_reason != DrawReason.REFINE or self._image is None
+
+        from .store import bucket_size
+        while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
+            starts, lens = block
+            for s, l in zip(starts, lens):
+                if l <= 0:
+                    continue
+                bucket = bucket_size(l, self._store.n_pad)
+                for piece in range(0, l, bucket):
+                    with self._render_timer:
+                        im = _render_block_surface(
+                            self._store.pos_smooth, values,
+                            self._store.cell_ids, self._cell_table,
+                            matrix, scale, cut,
+                            jnp.int32(s + piece),
+                            jnp.int32(min(bucket, l - piece)),
+                            resolution=self._resolution, bucket=bucket)
+                        if first_block:
+                            self._image = im
+                            first_block = False
+                        else:
+                            self._image = _max_composite(self._image, im)
+                        jax.block_until_ready(self._image)
+            prog.end_block(self._render_timer.total_time_in_frame())
+
+        self._render_timer.end_frame()
+        prog.end_frame_get_scalefactor()
+        self.last_render_mass_scale = 1.0  # max semantics need no rescale
+        mean = self._render_timer.running_mean_duration
+        self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
+        self.has_rendered = True
+
+    def get_image(self) -> np.ndarray:
+        """No photometric rescaling (reference: sph.py:655-656)."""
+        return self._get_image_unscaled()
