@@ -1,0 +1,69 @@
+"""Headline benchmark: particle splat throughput on one chip.
+
+Renders the synthetic 2^20-particle snapshot at 1024x1024 (density +
+weighted-quantity channels, the reference's flagship configuration) through
+the full TPU splat pipeline and reports steady-state splats/second.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
+baseline is the 500M splats/s/chip north star (BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from topsy_tpu import camera
+    from topsy_tpu.loaders import TestDataLoader
+    from topsy_tpu.ops import splat_atlas
+
+    resolution = 1024
+    scale = 200.0
+    n = 1 << 20
+
+    loader = TestDataLoader(n, seed=1337)
+    pos_smooth = jnp.asarray(loader.get_pos_smooth())
+    mass = loader.get_mass()
+    qty = loader.get_named_quantity("test-quantity")
+    values = jnp.asarray(np.stack([mass, mass * qty], axis=1))
+    matrix = jnp.asarray(
+        camera.world_to_clip_matrix(np.eye(3), np.zeros(3), scale), jnp.float32)
+
+    fn = jax.jit(lambda ps, vals, m: splat_atlas.splat_atlas(
+        ps, vals, m, resolution, scale)[0])
+
+    # warm up / compile
+    im = fn(pos_smooth, values, matrix)
+    jax.block_until_ready(im)
+    float(np.asarray(im[0, 0, 0]))
+
+    reps = 5
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            im = fn(pos_smooth, values, matrix)
+        # force full execution incl. readback sync
+        float(np.asarray(im.sum()))
+        dt = (time.perf_counter() - t0) / reps
+        best = min(best, dt)
+
+    splats_per_sec = n / best
+    baseline = 5e8  # north-star target (BASELINE.md)
+    print(json.dumps({
+        "metric": "particle-splats/sec/chip",
+        "value": round(splats_per_sec, 1),
+        "unit": "splats/s",
+        "vs_baseline": round(splats_per_sec / baseline, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

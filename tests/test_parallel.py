@@ -1,0 +1,69 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: the reduced
+framebuffer must be invariant to the shard count (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from topsy_tpu import camera
+from topsy_tpu.loaders import TestDataLoader
+from topsy_tpu.parallel import DistributedSplatter, make_mesh, strided_shard, unstride
+
+
+RES = 64
+SCALE = 200.0
+
+
+@pytest.fixture(scope="module")
+def data():
+    loader = TestDataLoader(6000, seed=3)
+    ps = loader.get_pos_smooth()
+    mass = loader.get_mass()
+    qty = loader.get_named_quantity("test-quantity")
+    vals = np.stack([mass, mass * qty], axis=1)
+    matrix = camera.world_to_clip_matrix(np.eye(3), np.zeros(3), SCALE)
+    return ps, vals, matrix
+
+
+def test_strided_shard_roundtrip():
+    arr = np.arange(23 * 3, dtype=np.float32).reshape(23, 3)
+    sh = strided_shard(arr, 4)
+    assert sh.shape == (4, 6, 3)
+    assert np.all(sh[1, 0] == arr[1])
+    assert np.all(sh[3, 2] == arr[11])
+    back = unstride(sh)
+    assert np.all(back[:23] == arr)
+
+
+def test_shard_count_invariance(data):
+    ps, vals, matrix = data
+    assert jax.device_count() >= 8, "tests must run with 8 virtual devices"
+
+    images = {}
+    for n_dev in (1, 2, 8):
+        mesh = make_mesh(n_dev)
+        ds = DistributedSplatter(mesh, ps, vals, RES)
+        images[n_dev] = np.asarray(ds.render(matrix, SCALE))
+
+    for n_dev in (2, 8):
+        np.testing.assert_allclose(images[n_dev], images[1], rtol=1e-4,
+                                   atol=1e-12 + 1e-6 * np.abs(images[1]).max())
+
+
+def test_lod_prefix_balanced_and_correct(data):
+    """A prefix LOD range on the sharded path equals the same range
+    rendered single-chip."""
+    ps, vals, matrix = data
+    k = 2000
+    mesh8 = make_mesh(8)
+    ds8 = DistributedSplatter(mesh8, ps, vals, RES)
+    im8 = np.asarray(ds8.render(matrix, SCALE, 0, k))
+
+    mesh1 = make_mesh(1)
+    ds1 = DistributedSplatter(mesh1, ps, vals, RES)
+    im1 = np.asarray(ds1.render(matrix, SCALE, 0, k))
+
+    np.testing.assert_allclose(im8, im1, rtol=1e-4,
+                               atol=1e-12 + 1e-6 * np.abs(im1).max())
+    assert im1[..., 0].sum() > 0
