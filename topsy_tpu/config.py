@@ -67,7 +67,7 @@ SPLAT_WINDOW = 16
 # truncation width of giant splats at the coarsest pyramid level.
 
 SPLAT_PYRAMID_LEVELS = 7
-# levels 0..6 -> level L resolution = resolution / 2^L (min useful res 16).
+# levels 0..6 -> level L resolution = resolution / 2^L (coarsest 16px).
 
 SPLAT_CHUNK = 512
 # particles per matmul chunk in the atlas splatter.

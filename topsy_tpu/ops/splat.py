@@ -71,6 +71,9 @@ class PyramidSpec:
 
 
 def default_pyramid(resolution: int) -> PyramidSpec:
+    # coarsest level is 16px so a full kernel footprint (14 level px) always
+    # fits inside a level image; giant splats beyond that truncate at the
+    # coarsest window with compensated mass
     n = min(config.SPLAT_PYRAMID_LEVELS,
             max(1, int(np.log2(max(resolution, 16) / 16)) + 1))
     return PyramidSpec(resolution=resolution, num_levels=n, pad=WINDOW)
@@ -101,12 +104,20 @@ def project(pos_smooth: jnp.ndarray, matrix: jnp.ndarray, resolution: int,
 
 
 def assign_levels(h_px: jnp.ndarray, num_levels: int):
-    """Pyramid level per splat and the effective smoothing in level pixels."""
+    """Pyramid level per splat and the effective smoothing in level pixels.
+
+    Splats smaller than H_MIN level-pixels are flagged ``tiny``: they deposit
+    via a cloud-in-cell bilinear hat (exactly mass conserving at every pixel
+    phase) with h_eff fixed to 1, instead of a phase-averaged normalized
+    kernel, which would alias for sub-pixel splats whose positions correlate
+    with the pixel grid.
+    """
     lev = jnp.ceil(jnp.log2(jnp.maximum(h_px, 1e-30) / H_MAX))
     lev = jnp.clip(lev, 0, num_levels - 1).astype(jnp.int32)
     h_l = h_px * jnp.exp2(-lev.astype(jnp.float32))
-    h_eff = jnp.clip(h_l, H_MIN, H_TRUNC)
-    return lev, h_eff
+    tiny = h_l < H_MIN
+    h_eff = jnp.where(tiny, 1.0, jnp.clip(h_l, H_MIN, H_TRUNC))
+    return lev, h_eff, tiny
 
 
 @functools.lru_cache(maxsize=None)
@@ -151,7 +162,7 @@ def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
     cx, cy, z01, h_px, visible = project(pos_smooth, matrix, resolution, scale)
     if depth_channel:
         values = jnp.concatenate([values, values[:, :1] * z01[:, None]], axis=1)
-    lev, h_eff = assign_levels(h_px, pyramid.num_levels)
+    lev, h_eff, tiny = assign_levels(h_px, pyramid.num_levels)
     lev_scale = jnp.exp2(lev.astype(jnp.float32))
 
     # centre coordinates in level pixels (pixel centres at integers)
@@ -163,13 +174,14 @@ def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
     px_per_world = resolution / (2.0 * scale)
     h_eff_world = h_eff * lev_scale / px_per_world
 
-    c_norm = norm_factor(h_eff, mode)
+    # tiny (CIC) splats need no discrete normalization: the hat sums to 1
+    c_norm = jnp.where(tiny, 1.0, norm_factor(h_eff, mode))
     w = c_norm / (h_eff_world * h_eff_world)
     w = jnp.where(visible, w, 0.0)
     if extra_mask is not None:
         w = jnp.where(extra_mask, w, 0.0)
     coef = values * w[:, None]
-    return dict(level=lev, cx=cx_l, cy=cy_l, h_eff=h_eff, coef=coef)
+    return dict(level=lev, cx=cx_l, cy=cy_l, h_eff=h_eff, tiny=tiny, coef=coef)
 
 
 # ---------------------------------------------------------------------------
@@ -203,6 +215,29 @@ def lowrank_profiles_jnp(t2: jnp.ndarray, lrk: kernels.LowRankKernel) -> jnp.nda
             acc = acc * t2 + float(c)
         outs.append(jnp.where(t2 <= kernels.KERNEL_SUPPORT ** 2, acc, 0.0))
     return jnp.stack(outs)
+
+
+def hat_profile(t2: jnp.ndarray) -> jnp.ndarray:
+    """Cloud-in-cell triangle profile max(0, 1 - |t|) from squared offsets."""
+    return jnp.maximum(0.0, 1.0 - jnp.sqrt(jnp.maximum(t2, 0.0)))
+
+
+def profiles_select(t2: jnp.ndarray, tiny: jnp.ndarray,
+                    lrk: kernels.LowRankKernel, signed: bool) -> jnp.ndarray:
+    """Kernel profiles with the CIC hat substituted for tiny splats.
+
+    ``tiny`` broadcasts against t2.  The hat is rank-1 (only profile 0,
+    eigen-sign +1), so tiny rows simply zero the higher-rank profiles.
+    """
+    p = lowrank_profiles_jnp(t2, lrk)
+    if signed:
+        sign = jnp.asarray(lrk.signs)[(...,) + (None,) * t2.ndim]
+        p = p * sign
+    hat = hat_profile(t2)
+    zero = jnp.zeros_like(t2)
+    rows = [jnp.where(tiny, hat if k == 0 else zero, p[k])
+            for k in range(lrk.rank)]
+    return jnp.stack(rows)
 
 
 # ---------------------------------------------------------------------------
@@ -242,7 +277,11 @@ def splat_scatter(pos_smooth, values, matrix, resolution, scale,
     dy = (sy - pad)[:, None] + d[None, :] - cy[:, None]
     inv_h = 1.0 / h_eff
     q = jnp.sqrt((dy[:, :, None] ** 2 + dx[:, None, :] ** 2)) * inv_h[:, None, None]
-    w = kernel_radial_jnp(q)                               # (N, W, W)
+    w_kernel = kernel_radial_jnp(q)                        # (N, W, W)
+    tiny = parts["tiny"]
+    hat2d = (hat_profile(dy ** 2)[:, :, None]
+             * hat_profile(dx ** 2)[:, None, :])
+    w = jnp.where(tiny[:, None, None], hat2d, w_kernel)
 
     rows = sy[:, None] + jnp.arange(WINDOW, dtype=jnp.int32)[None, :]
     cols = sx[:, None] + jnp.arange(WINDOW, dtype=jnp.int32)[None, :]

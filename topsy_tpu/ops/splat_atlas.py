@@ -35,7 +35,7 @@ import numpy as np
 
 from .. import config
 from . import kernels
-from .splat import (PyramidSpec, default_pyramid, lowrank_profiles_jnp,
+from .splat import (PyramidSpec, default_pyramid, profiles_select,
                     splat_coefficients)
 
 GROUP = 256                 # particles per matmul group
@@ -59,11 +59,6 @@ def atlas_layout(pyramid: PyramidSpec):
     return tuple(row_offs), r, width
 
 
-def _profiles(t2: jnp.ndarray, lrk) -> jnp.ndarray:
-    """(rank,) + t2.shape kernel profiles with eigen-signs folded in."""
-    p = lowrank_profiles_jnp(t2, lrk)
-    sign = jnp.asarray(lrk.signs)[(...,) + (None,) * t2.ndim]
-    return p * sign
 
 
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
@@ -96,7 +91,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     cx = jnp.clip(parts["cx"], -margin, res_l + margin)
     ay = row_offs_arr[lev] + cy
     ax = COL_PAD + cx
-    inv_h = 1.0 / parts["h_eff"]
+    # sign trick: negative inv_h flags a tiny (CIC) splat; profiles only see
+    # inv_h^2 so the magnitude is unaffected, and the flag survives the sort
+    # without an extra payload operand
+    inv_h = jnp.where(parts["tiny"], -1.0, 1.0 / parts["h_eff"])
     coef = parts["coef"]
 
     band = jnp.floor(ay / BAND).astype(jnp.int32)
@@ -146,8 +144,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         xmask = (dx > -FOOT) & (dx <= FOOT)
         ty2 = (dy * inv_h_g[:, None]) ** 2
         tx2 = (dx * inv_h_g[:, None]) ** 2
-        P = _profiles(ty2, lrk) * ymask[None]                    # (K, G, R)
-        Q = lowrank_profiles_jnp(tx2, lrk) * xmask[None]         # (K, G, W)
+        tiny_g = (inv_h_g < 0)[:, None]                          # (G, 1)
+        P = profiles_select(ty2, tiny_g, lrk, signed=True) * ymask[None]
+        Q = profiles_select(tx2, tiny_g, lrk, signed=False) * xmask[None]
         # fold channel coefficients into the (small) row-profile side instead
         # of materializing a (K, G, W, C) tensor
         PC = P[:, :, :, None] * coef_g[None, :, None, :]         # (K, G, R, C)

@@ -49,7 +49,7 @@ def zsplat_scatter(pos_smooth, values, matrix, resolution, scale,
     if pyramid is None:
         pyramid = default_pyramid(resolution)
     cx, cy, z01, h_px, visible = project(pos_smooth, matrix, resolution, scale)
-    lev, h_eff = assign_levels(h_px, pyramid.num_levels)
+    lev, h_eff, _tiny = assign_levels(h_px, pyramid.num_levels)
     lev_scale = jnp.exp2(lev.astype(jnp.float32))
     cx_l = (cx + 0.5) / lev_scale - 0.5
     cy_l = (cy + 0.5) / lev_scale - 0.5
