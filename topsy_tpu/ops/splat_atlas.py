@@ -38,7 +38,7 @@ from . import kernels
 from .splat import (PyramidSpec, default_pyramid, profiles_select,
                     splat_coefficients)
 
-GROUP = 256                 # particles per matmul group
+GROUP = 512                 # particles per matmul group
 WINDOW_ROWS = 64            # rows of the dynamic accumulation window
 WINDOW_COLS = 256           # cols of the dynamic accumulation window
 BAND = config.SPLAT_BAND_ROWS
@@ -55,7 +55,8 @@ def atlas_layout(pyramid: PyramidSpec):
     for res_l in pyramid.level_resolutions:
         row_offs.append(r)
         r += res_l + ROW_PAD
-    width = max(pyramid.resolution + 2 * COL_PAD, WINDOW_COLS)
+    width = max(pyramid.resolution + 2 * COL_PAD, 384)
+    width = ((width + 127) // 128) * 128  # lane-aligned for the Pallas engine
     return tuple(row_offs), r, width
 
 
@@ -63,11 +64,16 @@ def atlas_layout(pyramid: PyramidSpec):
 
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
-                depth_channel=False):
+                depth_channel=False, engine: str | None = None):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
+    ``engine``: 'pallas' (fused TPU kernel), 'scan' (pure-XLA fallback), or
+    None for automatic selection (pallas on TPU).
     Returns (image (res, res, C), spilled_dropped count).
     """
+    if engine is None:
+        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+
     if pyramid is None:
         pyramid = default_pyramid(resolution)
     lrk = kernels.lowrank_kernel()
@@ -128,10 +134,20 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     c0 = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
     c0 = jnp.clip(c0, 0, atlas_cols - WINDOW_COLS)
 
+    if engine == "pallas":
+        from . import splat_pallas
+        # align window columns to the lane tile; the wider 384-col window
+        # keeps the same effective group span allowance
+        c0 = jnp.clip((c0 // splat_pallas.COL_ALIGN) * splat_pallas.COL_ALIGN,
+                      0, atlas_cols - splat_pallas.WINDOW_COLS)
+        window_cols = splat_pallas.WINDOW_COLS
+    else:
+        window_cols = WINDOW_COLS
+
     w0_rep = jnp.repeat(w0, GROUP).astype(jnp.float32)
     c0_rep = jnp.repeat(c0, GROUP).astype(jnp.float32)
     fits = ((ay_s + FOOT < w0_rep + WINDOW_ROWS)
-            & (ax_s + FOOT < c0_rep + WINDOW_COLS)
+            & (ax_s + FOOT < c0_rep + window_cols)
             & (ax_s - FOOT >= c0_rep))
     coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
 
@@ -171,12 +187,24 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                              (w0_g, c0_g, 0))
         return atlas, None
 
-    atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
-    per_group = (ay_g2, ax_g2,
-                 inv_h_s.reshape(n_groups, GROUP),
-                 coef_fit.reshape(n_groups, GROUP, C),
-                 w0, c0)
-    atlas, _ = jax.lax.scan(body, atlas0, per_group)
+    if engine == "pallas":
+        from . import splat_pallas
+        interpret = jax.default_backend() != "tpu"
+        atlas_cf = splat_pallas.accumulate_groups_pallas(
+            ay_s.reshape(n_groups, 1, GROUP),
+            ax_s.reshape(n_groups, 1, GROUP),
+            inv_h_s.reshape(n_groups, 1, GROUP),
+            coef_fit.reshape(n_groups, GROUP, C).transpose(0, 2, 1),
+            w0, c0, atlas_rows=atlas_rows, atlas_cols=atlas_cols, C=C,
+            group=GROUP, interpret=interpret)
+        atlas = atlas_cf.transpose(1, 2, 0)
+    else:
+        atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
+        per_group = (ay_g2, ax_g2,
+                     inv_h_s.reshape(n_groups, GROUP),
+                     coef_fit.reshape(n_groups, GROUP, C),
+                     w0, c0)
+        atlas, _ = jax.lax.scan(body, atlas0, per_group)
 
     # ---- spill pass: particles too sparse for their group window ----------
     spilled = ~fits & (jnp.abs(coef_s).sum(axis=1) > 0.0)

@@ -1,0 +1,173 @@
+"""Fused Pallas TPU kernel for the atlas splatter's accumulation loop.
+
+The jnp scan in splat_atlas.py launches several small XLA ops per particle
+group (~14 us/step of launch overhead, measured).  This kernel fuses the
+whole loop: one ``pallas_call`` iterates the sorted groups, evaluates the
+low-rank kernel profiles on the VPU, forms the deposit with MXU matmuls, and
+accumulates into a dynamically-positioned atlas window kept resident in VMEM
+for as long as consecutive groups share it (flushed to HBM by DMA only on
+window change).
+
+Data layout keeps particles in the *lane* dimension everywhere: profiles are
+built as (rows, rank*G) / (cols, rank*G) by pure broadcasting, so no
+relayouts are needed on the inputs; the deposit is
+
+    win[c] += dot((P * coef_c) [R, rank*G], Q [W, rank*G], contract lanes)
+
+Tiny (CIC) splats ride the sign bit of inv_h and substitute the rank-1
+bilinear hat, exactly as in the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import kernels
+
+WINDOW_ROWS = 64
+WINDOW_COLS = 384  # 256-px logical window + 128 for lane alignment of c0
+COL_ALIGN = 128
+
+
+def _profiles_lanes(t2, tiny, lrk, signed: bool):
+    """(n, rank*G) profiles (lane-concatenated over rank) with CIC hats.
+
+    t2: (n, G) squared offsets; tiny: (1, G) CIC flags broadcast over rows.
+    """
+    hat = jnp.maximum(0.0, 1.0 - jnp.sqrt(jnp.maximum(t2, 0.0)))
+    pieces = []
+    for k in range(lrk.rank):
+        acc = jnp.full_like(t2, float(lrk.coeffs[k][0]))
+        for c in lrk.coeffs[k][1:]:
+            acc = acc * t2 + float(c)
+        acc = jnp.where(t2 <= kernels.KERNEL_SUPPORT ** 2, acc, 0.0)
+        if signed:
+            acc = acc * float(lrk.signs[k])
+        pieces.append(jnp.where(tiny, hat if k == 0 else jnp.zeros_like(t2), acc))
+    return jnp.concatenate(pieces, axis=1)
+
+
+def _make_kernel(n_groups: int, group: int, C: int, lrk, foot: float):
+
+    def kernel(w0_ref, c0_ref, ay_ref, ax_ref, ih_ref, coef_ref,
+               atlas_in_ref, atlas_out_ref, win_ref, sem_in, sem_out):
+        del atlas_in_ref  # aliased with atlas_out_ref
+        g = pl.program_id(0)
+        w0 = pl.multiple_of(w0_ref[g], 8)
+        c0 = pl.multiple_of(c0_ref[g], COL_ALIGN)
+
+        first = g == 0
+        prev = jnp.maximum(g - 1, 0)
+        changed = first | (w0 != w0_ref[prev]) | (c0 != c0_ref[prev])
+
+        @pl.when(changed & jnp.logical_not(first))
+        def _():
+            # flush the previous window before moving
+            sl = (slice(None), pl.ds(pl.multiple_of(w0_ref[prev], 8), WINDOW_ROWS),
+                  pl.ds(pl.multiple_of(c0_ref[prev], COL_ALIGN), WINDOW_COLS))
+            out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
+            out.start()
+            out.wait()
+
+        @pl.when(changed)
+        def _():
+            sl = (slice(None), pl.ds(w0, WINDOW_ROWS), pl.ds(c0, WINDOW_COLS))
+            dma = pltpu.make_async_copy(atlas_out_ref.at[sl], win_ref, sem_in)
+            dma.start()
+            dma.wait()
+
+        ay = ay_ref[0]                                # (1, G)
+        ax = ax_ref[0]
+        ih = ih_ref[0]
+        tiny = ih < 0.0                               # (1, G)
+        ih2 = ih * ih
+
+        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
+                                        ).astype(jnp.float32)
+        cols = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_COLS, group), 0
+                                        ).astype(jnp.float32)
+        dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
+        dx = c0.astype(jnp.float32) + cols - ax       # (W, G)
+        ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+        xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+        ty2 = dy * dy * ih2
+        tx2 = dx * dx * ih2
+
+        rank = lrk.rank
+        P = _profiles_lanes(ty2, tiny, lrk, signed=True) \
+            * jnp.tile(ymask, (1, rank))              # (R, rank*G)
+        Q = _profiles_lanes(tx2, tiny, lrk, signed=False) \
+            * jnp.tile(xmask, (1, rank))              # (W, rank*G)
+
+        # bf16 inputs, f32 accumulation: kernel-profile quantization (~0.2%)
+        # is far below the reference's own 64x64-texture discretization error
+        Qb = Q.astype(jnp.bfloat16)
+        for c in range(C):
+            coef_c = jnp.tile(coef_ref[0, c][None, :], (1, rank))  # (1, rank*G)
+            PC = (P * coef_c).astype(jnp.bfloat16)
+            contrib = jax.lax.dot_general(
+                PC, Qb, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # (R, W)
+            win_ref[c, :, :] += contrib
+
+        @pl.when(g == n_groups - 1)
+        def _():
+            sl = (slice(None), pl.ds(w0, WINDOW_ROWS), pl.ds(c0, WINDOW_COLS))
+            out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
+            out.start()
+            out.wait()
+
+    return kernel
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("atlas_rows", "atlas_cols", "C", "group",
+                                    "interpret"))
+def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
+                             atlas_rows: int, atlas_cols: int, C: int,
+                             group: int, interpret: bool = False):
+    """Run the fused accumulation.
+
+    ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
+    w0: (n_groups,) int32 row starts (8-aligned); c0: (n_groups,) int32 col
+    starts (128-aligned).  Returns the atlas (C, atlas_rows, atlas_cols).
+    """
+    n_groups = w0.shape[0]
+    lrk = kernels.lowrank_kernel()
+    from .splat_atlas import FOOT
+
+    kernel = _make_kernel(n_groups, group, C, lrk, float(FOOT))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_groups,),
+        in_specs=[
+            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, C, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        scratch_shapes=[
+            pltpu.VMEM((C, WINDOW_ROWS, WINDOW_COLS), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+
+    atlas0 = jnp.zeros((C, atlas_rows, atlas_cols), dtype=jnp.float32)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((C, atlas_rows, atlas_cols), jnp.float32),
+        input_output_aliases={6: 0},  # atlas input (after 2 scalar + 4 tensor)
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(w0, c0, ay_g, ax_g, ih_g, coef_g, atlas0)
