@@ -1,0 +1,89 @@
+"""Smoothing-length computation and native-runtime tests."""
+
+import numpy as np
+import pytest
+
+from topsy_tpu import native
+from topsy_tpu.cells import CellLayout
+from topsy_tpu.loaders import ArrayDataLoader, TestDataLoader
+from topsy_tpu.ops.knn import smoothing_lengths
+
+
+def test_device_estimator_uniform_unbiased():
+    rng = np.random.RandomState(0)
+    n = 50000
+    pos = rng.uniform(0, 100, (n, 3)).astype(np.float32)
+    h = np.asarray(smoothing_lengths(pos, n_neighbors=32))
+    eta = (3 * 32 / (32 * np.pi)) ** (1 / 3)
+    expected = eta * (n / 100**3) ** (-1 / 3)
+    assert np.median(h) == pytest.approx(expected, rel=0.05)
+    assert np.std(np.log10(h)) < 0.1
+
+
+def test_device_estimator_tracks_density():
+    loader = TestDataLoader(50000)
+    h = np.asarray(smoothing_lengths(loader.get_positions(), n_neighbors=32))
+    corr = np.corrcoef(np.log(h), np.log(loader.get_smooth()))[0, 1]
+    assert corr > 0.9
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_knn_exact():
+    from scipy.spatial import cKDTree
+    rng = np.random.RandomState(1)
+    pos = rng.normal(0, 1, (3000, 3)).astype(np.float32)
+    pos[:500] *= 0.02  # dense clump
+    h = native.knn_smooth(pos, 32)
+    d, _ = cKDTree(pos).query(pos, k=33)
+    np.testing.assert_allclose(h, 0.5 * d[:, -1], rtol=1e-5)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_cell_sort_matches_numpy():
+    rng = np.random.RandomState(2)
+    pos = rng.uniform(-5, 5, (4000, 3))
+    res = native.cell_sort(pos, -5.001, 5.001, 6)
+    assert res is not None
+    ordering, offsets, lengths = res
+    layout, order_np = CellLayout.from_positions.__func__(
+        CellLayout, pos, -5.001, 5.001, 6)
+    # the native path is used inside from_positions too; check invariants
+    assert np.array_equal(np.sort(ordering), np.arange(4000))
+    assert lengths.sum() == 4000
+    assert np.array_equal(np.cumsum(lengths) - lengths, offsets)
+
+
+@pytest.mark.skipif(not native.available(), reason="no native toolchain")
+def test_native_interleave_matches_numpy():
+    rng = np.random.RandomState(3)
+    pos = rng.uniform(-5, 5, (4000, 3))
+    layout, _ = CellLayout.from_positions(pos, -5.001, 5.001, 4)
+    order_fast = layout.interleave_order()
+    # force the numpy path
+    phi = layout.default_phase_shifts() / layout.get_num_cells()
+    keys = np.empty(4000)
+    for c in range(layout.get_num_cells()):
+        sl = layout.cell_slice(c)
+        length = sl.stop - sl.start
+        if length:
+            keys[sl] = (np.arange(1, length + 1) - phi[c]) / length
+    np.testing.assert_array_equal(order_fast, np.argsort(keys, kind="stable"))
+
+
+def test_array_loader_end_to_end():
+    import topsy_tpu
+    from topsy_tpu.canvas import OffscreenCanvas
+    from topsy_tpu.visualizer import Visualizer
+
+    rng = np.random.RandomState(4)
+    pos = rng.normal(0, 20, (5000, 3)).astype(np.float32)
+    temp = np.abs(pos[:, 0]).astype(np.float32)
+    vis = Visualizer(data_loader_class=ArrayDataLoader,
+                     data_loader_kwargs={"positions": pos,
+                                         "quantities": {"temp": temp}},
+                     render_resolution=64, canvas_class=OffscreenCanvas)
+    im = vis.get_sph_image()
+    assert np.isfinite(im).all() and im.max() > 0
+    vis.quantity_name = "temp"
+    im2 = vis.get_sph_image()
+    assert np.nanmax(im2) > 0

@@ -94,6 +94,10 @@ class CellLayout:
         if phase_shifts is None:
             phase_shifts = self.default_phase_shifts(seed)
         phi = phase_shifts.astype(np.float64) / self.get_num_cells()
+        from . import native
+        order = native.interleave_order(self._offsets, self._lengths, phi)
+        if order is not None:
+            return order
         keys = np.empty(self._num_particles, dtype=np.float64)
         for c, (o, l) in enumerate(zip(self._offsets, self._lengths)):
             if l:
@@ -136,6 +140,12 @@ class CellLayout:
         grid_1d = cell_cen0 + cell_size * np.arange(nside)
         gx, gy, gz = np.meshgrid(grid_1d, grid_1d, grid_1d, indexing="ij")
         centres = np.stack([gx.ravel(), gy.ravel(), gz.ravel()], axis=1)
+
+        from . import native
+        result = native.cell_sort(particle_positions, box_min, box_max, nside)
+        if result is not None:
+            ordering, offsets, lengths = result
+            return cls(centres, offsets, lengths), ordering
 
         pos_indices = np.floor((particle_positions - box_min) / cell_size).astype(np.intp)
         if pos_indices.min() < 0 or pos_indices.max() >= nside:

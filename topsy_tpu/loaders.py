@@ -208,6 +208,89 @@ class TestDataLoader(AbstractDataLoader):
         return "test data"
 
 
+class ArrayDataLoader(AbstractDataLoader):
+    """Loader for raw numpy arrays — no pynbody required.
+
+    Smoothing lengths, if not provided, are computed with the native exact
+    kNN (topsy_tpu.native, pynbody's h = d_nn/2 convention) or, failing
+    that, the on-device multigrid estimator (ops/knn.py).
+    """
+
+    def __init__(self, positions: np.ndarray, mass: np.ndarray | None = None,
+                 smooth: np.ndarray | None = None,
+                 quantities: dict[str, np.ndarray] | None = None,
+                 rgb_masses: np.ndarray | None = None,
+                 position_units: str = "kpc",
+                 periodicity_scale: float | None = None,
+                 with_cells: bool = True,
+                 nside: int = config.DEFAULT_CELLS_NSIDE,
+                 n_neighbors: int = 64):
+        positions = np.asarray(positions, dtype=np.float32)
+        n = len(positions)
+        if mass is None:
+            mass = np.ones(n, dtype=np.float32)
+        if smooth is None:
+            from . import native
+            smooth = native.knn_smooth(positions, n_neighbors)
+            if smooth is None:
+                from .ops.knn import smoothing_lengths
+                smooth = np.asarray(smoothing_lengths(positions, n_neighbors))
+        self._quantities = {k: np.asarray(v, dtype=np.float32)
+                            for k, v in (quantities or {}).items()}
+        self._rgb = rgb_masses
+        self._position_units = position_units
+        self._periodicity_scale = periodicity_scale
+
+        order = np.arange(n)
+        if with_cells and n > 0:
+            lo = positions.min() - 1e-3
+            hi = positions.max() + max(1e-3, 1e-5 * np.ptp(positions))
+            self._cell_layout, ordering = CellLayout.from_positions(
+                positions, lo, hi, nside)
+            order = ordering[self._cell_layout.randomize_within_cells()][self._lod_order()]
+
+        self._pos = positions[order]
+        self._mass = np.asarray(mass, dtype=np.float32)[order]
+        self._smooth = np.asarray(smooth, dtype=np.float32)[order]
+        self._quantities = {k: v[order] for k, v in self._quantities.items()}
+        if self._rgb is not None:
+            self._rgb = np.asarray(self._rgb, dtype=np.float32)[order]
+
+    def __len__(self):
+        return len(self._pos)
+
+    def get_positions(self):
+        return self._pos
+
+    def get_smooth(self):
+        return self._smooth
+
+    def get_mass(self):
+        return self._mass
+
+    def get_named_quantity(self, name):
+        return self._quantities[name]
+
+    def get_quantity_names(self):
+        return sorted(self._quantities.keys())
+
+    def get_quantity_label(self, quantity_name):
+        if quantity_name is None:
+            return r"density / $M_{\odot} / \mathrm{kpc}^2$"
+        return quantity_name
+
+    def get_rgb_masses(self):
+        if self._rgb is None:
+            raise ValueError("No RGB band masses were provided to ArrayDataLoader")
+        return self._rgb
+
+    def get_position_units(self):
+        return self._position_units
+
+    def get_periodicity_scale(self):
+        return self._periodicity_scale
+
+
 class PynbodyDataInMemory(AbstractDataLoader):
     """Loader wrapping an already-open pynbody snapshot (host-side I/O only;
     reference: loader.py:79-155)."""
