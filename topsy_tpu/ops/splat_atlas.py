@@ -82,7 +82,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                depth_channel=depth_channel)
     C = values.shape[1] + (1 if depth_channel else 0)
     n = pos_smooth.shape[0]
-    n_pad = max(GROUP, ((n + GROUP - 1) // GROUP) * GROUP)
+    from .splat_pallas import SUBGROUPS
+    pad_quantum = GROUP * SUBGROUPS
+    n_pad = max(pad_quantum, ((n + pad_quantum - 1) // pad_quantum) * pad_quantum)
 
     row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
     res_per_level = jnp.asarray(pyramid.level_resolutions, dtype=jnp.float32)
@@ -103,13 +105,20 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     inv_h = jnp.where(parts["tiny"], -1.0, 1.0 / parts["h_eff"])
     coef = parts["coef"]
 
+    # sort key: (row band, tiny class, column). Segregating tiny (CIC)
+    # splats within each band lets the Pallas kernel take a rank-1 hat-only
+    # fast path for all-tiny groups; masked/invisible particles take the
+    # sentinel key so whole groups of them can be skipped.
     band = jnp.floor(ay / BAND).astype(jnp.int32)
-    key = band * 2048 + jnp.floor(ax).astype(jnp.int32)
+    xkey = jnp.clip(jnp.floor(ax).astype(jnp.int32), 0, 2047)
+    key = band * 4096 + jnp.where(parts["tiny"], 0, 2048) + xkey
 
-    # pad to the static bucket; sentinels sort to the very end, in the last
-    # (guaranteed-padding) region of the atlas, with zero coefficients
     sentinel_ay = float(atlas_rows - ROW_PAD + FOOT + 2.0)
-    sentinel_key = int(sentinel_ay // BAND) * 2048 + COL_PAD
+    sentinel_key = (int(sentinel_ay // BAND) + 2) * 4096
+    active = jnp.abs(coef).sum(axis=1) > 0.0
+    key = jnp.where(active, key, sentinel_key)
+    ay = jnp.where(active, ay, sentinel_ay)
+    ax = jnp.where(active, ax, float(COL_PAD))
 
     def pad_to(x, fill):
         return jnp.concatenate([x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])

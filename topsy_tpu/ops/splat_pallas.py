@@ -2,10 +2,12 @@
 
 The jnp scan in splat_atlas.py launches several small XLA ops per particle
 group (~14 us/step of launch overhead, measured).  This kernel fuses the
-whole loop: one ``pallas_call`` iterates the sorted groups, evaluates the
-low-rank kernel profiles on the VPU, forms the deposit with MXU matmuls, and
-accumulates into a dynamically-positioned atlas window kept resident in VMEM
-for as long as consecutive groups share it (flushed to HBM by DMA only on
+whole loop: one ``pallas_call`` iterates the sorted groups — SUBGROUPS of
+them per grid step, because the per-step pipeline overhead (~3.4 us,
+measured) would otherwise dominate — evaluating the low-rank kernel profiles
+on the VPU, forming deposits with bf16 MXU matmuls (f32 accumulation), and
+accumulating into a dynamically-positioned atlas window kept resident in
+VMEM for as long as consecutive groups share it (DMA-flushed to HBM only on
 window change).
 
 Data layout keeps particles in the *lane* dimension everywhere: profiles are
@@ -14,8 +16,11 @@ relayouts are needed on the inputs; the deposit is
 
     win[c] += dot((P * coef_c) [R, rank*G], Q [W, rank*G], contract lanes)
 
-Tiny (CIC) splats ride the sign bit of inv_h and substitute the rank-1
-bilinear hat, exactly as in the scan path.
+Group specializations (driven by the sort key, see splat_atlas.py):
+* all-tiny groups (CIC splats) take a rank-1 hat-only path — no polynomial
+  evaluation, a G-wide (not rank*G) contraction;
+* fully-masked groups (bucket padding, LOD remainders — sorted to the end
+  via the sentinel key) skip compute entirely.
 """
 
 from __future__ import annotations
@@ -33,6 +38,7 @@ from . import kernels
 WINDOW_ROWS = 64
 WINDOW_COLS = 384  # 256-px logical window + 128 for lane alignment of c0
 COL_ALIGN = 128
+SUBGROUPS = 4      # particle groups processed per grid step
 
 
 def _profiles_lanes(t2, tiny, lrk, signed: bool):
@@ -53,75 +59,109 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _make_kernel(n_groups: int, group: int, C: int, lrk, foot: float):
+def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
 
     def kernel(w0_ref, c0_ref, ay_ref, ax_ref, ih_ref, coef_ref,
                atlas_in_ref, atlas_out_ref, win_ref, sem_in, sem_out):
         del atlas_in_ref  # aliased with atlas_out_ref
         g = pl.program_id(0)
-        w0 = pl.multiple_of(w0_ref[g], 8)
-        c0 = pl.multiple_of(c0_ref[g], COL_ALIGN)
 
-        first = g == 0
-        prev = jnp.maximum(g - 1, 0)
-        changed = first | (w0 != w0_ref[prev]) | (c0 != c0_ref[prev])
-
-        @pl.when(changed & jnp.logical_not(first))
-        def _():
-            # flush the previous window before moving
-            sl = (slice(None), pl.ds(pl.multiple_of(w0_ref[prev], 8), WINDOW_ROWS),
-                  pl.ds(pl.multiple_of(c0_ref[prev], COL_ALIGN), WINDOW_COLS))
+        def flush(idx):
+            sl = (slice(None),
+                  pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
+                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), WINDOW_COLS))
             out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
             out.start()
             out.wait()
 
-        @pl.when(changed)
-        def _():
-            sl = (slice(None), pl.ds(w0, WINDOW_ROWS), pl.ds(c0, WINDOW_COLS))
+        def load(idx):
+            sl = (slice(None),
+                  pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
+                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), WINDOW_COLS))
             dma = pltpu.make_async_copy(atlas_out_ref.at[sl], win_ref, sem_in)
             dma.start()
             dma.wait()
 
-        ay = ay_ref[0]                                # (1, G)
-        ax = ax_ref[0]
-        ih = ih_ref[0]
-        tiny = ih < 0.0                               # (1, G)
-        ih2 = ih * ih
+        for s in range(SUBGROUPS):
+            ig = g * SUBGROUPS + s
+            w0 = pl.multiple_of(w0_ref[ig], 8)
+            c0 = pl.multiple_of(c0_ref[ig], COL_ALIGN)
 
-        rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
-                                        ).astype(jnp.float32)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_COLS, group), 0
-                                        ).astype(jnp.float32)
-        dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
-        dx = c0.astype(jnp.float32) + cols - ax       # (W, G)
-        ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
-        xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
-        ty2 = dy * dy * ih2
-        tx2 = dx * dx * ih2
+            first = ig == 0
+            prev = jnp.maximum(ig - 1, 0)
+            changed = first | (w0 != w0_ref[prev]) | (c0 != c0_ref[prev])
 
-        rank = lrk.rank
-        P = _profiles_lanes(ty2, tiny, lrk, signed=True) \
-            * jnp.tile(ymask, (1, rank))              # (R, rank*G)
-        Q = _profiles_lanes(tx2, tiny, lrk, signed=False) \
-            * jnp.tile(xmask, (1, rank))              # (W, rank*G)
+            @pl.when(changed & jnp.logical_not(first))
+            def _(prev=prev):
+                flush(prev)
 
-        # bf16 inputs, f32 accumulation: kernel-profile quantization (~0.2%)
-        # is far below the reference's own 64x64-texture discretization error
-        Qb = Q.astype(jnp.bfloat16)
-        for c in range(C):
-            coef_c = jnp.tile(coef_ref[0, c][None, :], (1, rank))  # (1, rank*G)
-            PC = (P * coef_c).astype(jnp.bfloat16)
-            contrib = jax.lax.dot_general(
-                PC, Qb, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32)   # (R, W)
-            win_ref[c, :, :] += contrib
+            @pl.when(changed)
+            def _(ig=ig):
+                load(ig)
 
-        @pl.when(g == n_groups - 1)
-        def _():
-            sl = (slice(None), pl.ds(w0, WINDOW_ROWS), pl.ds(c0, WINDOW_COLS))
-            out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
-            out.start()
-            out.wait()
+            ay = ay_ref[0, s][None, :]                    # (1, G)
+            ax = ax_ref[0, s][None, :]
+            ih = ih_ref[0, s][None, :]
+            tiny = ih < 0.0
+            ih2 = ih * ih
+
+            coef_any = jnp.max(jnp.abs(coef_ref[0, s, 0]))
+            for c in range(1, C):
+                coef_any = jnp.maximum(coef_any,
+                                       jnp.max(jnp.abs(coef_ref[0, s, c])))
+            group_active = coef_any > 0.0
+            all_tiny = jnp.max(ih) < 0.0
+
+            rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
+                                            ).astype(jnp.float32)
+            cols = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_COLS, group), 0
+                                            ).astype(jnp.float32)
+            dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
+            dx = c0.astype(jnp.float32) + cols - ax       # (W, G)
+
+            # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is
+            # far below the reference's own texture discretization error
+
+            @pl.when(group_active & all_tiny)
+            def _(s=s, dy=dy, dx=dx):
+                # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
+                Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+                Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
+                for c in range(C):
+                    PC = (Ph * coef_ref[0, s, c][None, :]).astype(jnp.bfloat16)
+                    contrib = jax.lax.dot_general(
+                        PC, Qh, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    win_ref[c, :, :] += contrib
+
+            @pl.when(group_active & jnp.logical_not(all_tiny))
+            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
+                ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+                xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+                ty2 = dy * dy * ih2
+                tx2 = dx * dx * ih2
+                rank = lrk.rank
+                P = _profiles_lanes(ty2, tiny, lrk, signed=True) \
+                    * jnp.tile(ymask, (1, rank))          # (R, rank*G)
+                Q = (_profiles_lanes(tx2, tiny, lrk, signed=False)
+                     * jnp.tile(xmask, (1, rank))).astype(jnp.bfloat16)
+                for c in range(C):
+                    coef_c = jnp.tile(coef_ref[0, s, c][None, :], (1, rank))
+                    PC = (P * coef_c).astype(jnp.bfloat16)
+                    contrib = jax.lax.dot_general(
+                        PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32)
+                    win_ref[c, :, :] += contrib
+
+            if s == SUBGROUPS - 1:
+                @pl.when(g == n_steps - 1)
+                def _(w0=w0, c0=c0):
+                    sl = (slice(None), pl.ds(w0, WINDOW_ROWS),
+                          pl.ds(c0, WINDOW_COLS))
+                    out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl],
+                                                sem_out)
+                    out.start()
+                    out.wait()
 
     return kernel
 
@@ -136,22 +176,32 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
     w0: (n_groups,) int32 row starts (8-aligned); c0: (n_groups,) int32 col
-    starts (128-aligned).  Returns the atlas (C, atlas_rows, atlas_cols).
+    starts (128-aligned).  n_groups must be a multiple of SUBGROUPS.
+    Returns the atlas (C, atlas_rows, atlas_cols).
     """
     n_groups = w0.shape[0]
+    assert n_groups % SUBGROUPS == 0, n_groups
+    n_steps = n_groups // SUBGROUPS
     lrk = kernels.lowrank_kernel()
     from .splat_atlas import FOOT
 
-    kernel = _make_kernel(n_groups, group, C, lrk, float(FOOT))
+    kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT))
+
+    # blocks carry SUBGROUPS groups per step
+    ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
+    ax_b = ax_g.reshape(n_steps, SUBGROUPS, group)
+    ih_b = ih_g.reshape(n_steps, SUBGROUPS, group)
+    coef_b = coef_g.reshape(n_steps, SUBGROUPS, C, group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_groups,),
+        grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
-            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
-            pl.BlockSpec((1, 1, group), lambda g, w0r, c0r: (g, 0, 0)),
-            pl.BlockSpec((1, C, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, C, group),
+                         lambda g, w0r, c0r: (g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
@@ -170,4 +220,4 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
         input_output_aliases={6: 0},  # atlas input (after 2 scalar + 4 tensor)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(w0, c0, ay_g, ax_g, ih_g, coef_g, atlas0)
+    )(w0, c0, ay_b, ax_b, ih_b, coef_b, atlas0)
