@@ -10,13 +10,18 @@ partial framebuffer, and because the blending is order-independent additive,
 
 Particles are sharded **round-robin over the interleaved LOD order**
 (``strided_shard``): device d owns global indices i with i % D == d, so any
-progressive-LOD prefix [0, K) stays load-balanced across chips, and the
-per-shard LOD mask is a local comparison — no cross-chip index bookkeeping.
+progressive-LOD prefix [0, K) stays load-balanced across chips AND maps to a
+*contiguous local prefix* on every shard — the same bucketed dynamic-slice
+trick as the single-chip store works per shard, with only the LOD mask
+translated to global indices.
+
+Multi-host note: on a pod, each host should build its process-local rows
+(global indices i with (i % D) owned by its local devices) and assemble the
+global array with ``jax.make_array_from_process_local_data`` using the same
+NamedSharding; the render step is unchanged (DCN is touched only at load).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -37,23 +42,38 @@ def strided_shard(arr: np.ndarray, n_devices: int) -> np.ndarray:
     return np.ascontiguousarray(
         padded.reshape(per, n_devices, *arr.shape[1:]).swapaxes(0, 1))
 
+
 def unstride(arr: np.ndarray) -> np.ndarray:
     """Inverse of strided_shard (up to padding)."""
     d, per = arr.shape[:2]
     return arr.swapaxes(0, 1).reshape(d * per, *arr.shape[2:])
 
 
+def local_bucket_size(count_hint: int, local_n: int) -> int:
+    """Power-of-two local bucket covering a global range on one shard."""
+    from ..render.store import MIN_BUCKET
+    b = MIN_BUCKET
+    while b < count_hint:
+        b *= 2
+    return min(b, local_n)
+
+
 class DistributedSplatter:
-    """Owns particle shards on a mesh and a jitted sharded render step."""
+    """Owns particle shards on a mesh and a jitted sharded render step.
+
+    Supports the full renderer contract: LOD prefix ranges (bucketed
+    locally), per-cell geometric culling, and the optional depth channel.
+    """
 
     def __init__(self, mesh: Mesh, pos_smooth: np.ndarray, values: np.ndarray,
-                 resolution: int, backend: str = "atlas",
-                 depth_channel: bool = False):
+                 resolution: int, cell_ids: np.ndarray | None = None,
+                 backend: str = "atlas", depth_channel: bool = False):
         self.mesh = mesh
         self.axis = mesh.axis_names[0]
-        self.n_devices = mesh.shape[self.axis]
+        self.n_devices = int(mesh.shape[self.axis])
         self.resolution = resolution
         self.n = len(pos_smooth)
+        self.local_n = -(-self.n // self.n_devices)
         self._depth_channel = depth_channel
         self._backend = backend
 
@@ -64,23 +84,39 @@ class DistributedSplatter:
         self.values = jax.device_put(
             strided_shard(np.asarray(values, np.float32), self.n_devices),
             sharding)
-        self._step = self._build_step()
+        if cell_ids is None:
+            cell_ids = np.zeros(self.n, dtype=np.int32)
+        self.n_cells = int(cell_ids.max()) + 1 if len(cell_ids) else 1
+        self.cell_ids = jax.device_put(
+            strided_shard(np.asarray(cell_ids, np.int32), self.n_devices),
+            sharding)
+        self._all_cells = jnp.ones((self.n_cells,), dtype=bool)
+        self._steps: dict[int, object] = {}
 
-    def _build_step(self):
+    def _build_step(self, bucket: int):
         axis = self.axis
         resolution = self.resolution
         depth_channel = self._depth_channel
         n_dev = self.n_devices
+        local_n = self.local_n
+        C = int(self.values.shape[-1])
 
-        def local_render(pos, vals, matrix, scale, start, count):
-            pos = pos[0]     # strip the sharded leading axis (local block)
+        def local_render(pos, vals, ids, cell_table, matrix, scale,
+                         start, count):
+            pos = pos[0]
             vals = vals[0]
-            d = jax.lax.axis_index(axis)
-            local_n = pos.shape[0]
-            gidx = (jnp.arange(local_n, dtype=jnp.int32) * n_dev
-                    + d.astype(jnp.int32))
-            mask = (gidx >= start) & (gidx < start + count)
-            im, _ = splat_atlas.splat_atlas(pos, vals, matrix, resolution,
+            ids = ids[0]
+            d = jax.lax.axis_index(axis).astype(jnp.int32)
+            # global range [start, start+count) covers local indices
+            # [ceil((start-d)/D), ...): slice a bucket around it
+            lstart = (start - d + n_dev - 1) // n_dev
+            sl = jnp.clip(lstart, 0, local_n - bucket)
+            p = jax.lax.dynamic_slice(pos, (sl, 0), (bucket, 4))
+            v = jax.lax.dynamic_slice(vals, (sl, 0), (bucket, C))
+            cid = jax.lax.dynamic_slice(ids, (sl,), (bucket,))
+            gidx = (sl + jnp.arange(bucket, dtype=jnp.int32)) * n_dev + d
+            mask = (gidx >= start) & (gidx < start + count) & cell_table[cid]
+            im, _ = splat_atlas.splat_atlas(p, v, matrix, resolution,
                                             scale, extra_mask=mask,
                                             depth_channel=depth_channel)
             # additive blending is exactly a sum-reduction: the partial
@@ -89,21 +125,23 @@ class DistributedSplatter:
 
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
-            in_specs=(P(axis), P(axis), P(), P(), P(), P()),
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(), P(), P(),
+                      P(), P()),
             out_specs=P(),
             check_vma=False)
         return jax.jit(shard_fn)
 
-    def render(self, matrix, scale, start: int = 0, count: int | None = None):
-        """Render particles with global LOD range [start, start+count)."""
+    def render(self, matrix, scale, start: int = 0, count: int | None = None,
+               cell_mask=None):
+        """Render the global LOD range [start, start+count) across the mesh."""
         if count is None:
             count = self.n
-        return self._step(self.pos_smooth, self.values,
-                          jnp.asarray(matrix, jnp.float32), jnp.float32(scale),
-                          jnp.int32(start), jnp.int32(count))
-
-
-@functools.lru_cache(maxsize=None)
-def _warn_once(msg: str):  # pragma: no cover
-    import logging
-    logging.getLogger(__name__).warning(msg)
+        bucket = local_bucket_size(-(-int(count) // self.n_devices) + 2,
+                                   self.local_n)
+        step = self._steps.get(bucket)
+        if step is None:
+            step = self._steps[bucket] = self._build_step(bucket)
+        table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        return step(self.pos_smooth, self.values, self.cell_ids, table,
+                    jnp.asarray(matrix, jnp.float32), jnp.float32(scale),
+                    jnp.int32(start), jnp.int32(count))

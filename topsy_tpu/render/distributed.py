@@ -1,0 +1,79 @@
+"""Multi-chip SPH renderer: the standard render loop over a device mesh.
+
+Drops into the Visualizer in place of the single-chip renderer (pass
+``mesh=`` to the Visualizer): LOD blocks, cell culling, quantity switching
+and photometric rescaling behave identically; each block is splatted by all
+chips on their particle shards and psum-reduced over ICI
+(parallel/render_step.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import config
+from ..parallel.render_step import DistributedSplatter
+from .sph import SPHRenderer
+from .store import ParticleStore
+
+
+class DistributedSPHRenderer(SPHRenderer):
+    """Density / weighted-quantity renderer over a particle-sharded mesh."""
+
+    def __init__(self, store: ParticleStore, render_progression,
+                 resolution: int, mesh, wrapping: bool = False,
+                 backend: str | None = None, share_render_progression=None):
+        super().__init__(store, render_progression, resolution,
+                         wrapping=wrapping, backend=backend,
+                         share_render_progression=share_render_progression)
+        self._mesh = mesh
+        self._splatter = None
+        self._splatter_version = None
+
+    def _get_splatter(self) -> DistributedSplatter:
+        version = (self._buffer_name, self._store.values_version)
+        if self._splatter is None or self._splatter_version != version:
+            loader = self._store._loader
+            pos_smooth = loader.get_pos_smooth()
+            if self._buffer_name == "rgb":
+                values = loader.get_rgb_masses().astype(np.float32)
+            else:
+                mass = loader.get_mass().astype(np.float32)
+                qname = self._store.quantity_name
+                if qname is None:
+                    qty = np.zeros_like(mass)
+                else:
+                    qty = loader.get_named_quantity(qname).astype(np.float32)
+                values = np.stack([mass, mass * qty], axis=1)
+            cell_ids = loader.get_cell_ids()
+            self._splatter = DistributedSplatter(
+                self._mesh, pos_smooth, values, self._resolution,
+                cell_ids=cell_ids, depth_channel=self._depth_channel)
+            self._splatter_version = version
+        return self._splatter
+
+    def _launch_block(self, matrix, scale, start: int, count: int,
+                      bucket: int):
+        prog = self._render_progression
+        mask = prog.get_selected_cell_mask()
+        return self._get_splatter().render(np.asarray(matrix), float(scale),
+                                           start, count, cell_mask=mask)
+
+    def _get_depth_renderer(self):
+        import copy
+        r = DistributedDepthSPHRenderer(
+            self._store, None, self._resolution, self._mesh,
+            wrapping=self._wrapping, backend=self._backend,
+            share_render_progression=copy.copy(self._render_progression))
+        r.rotation_matrix = self.rotation_matrix
+        r.position_offset = self.position_offset
+        r.scale = self.scale
+        return r
+
+
+class DistributedRGBSPHRenderer(DistributedSPHRenderer):
+    _buffer_name = "rgb"
+
+
+class DistributedDepthSPHRenderer(DistributedSPHRenderer):
+    _depth_channel = True

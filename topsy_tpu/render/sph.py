@@ -164,7 +164,6 @@ class SPHRenderer:
 
         matrix = jnp.asarray(self._matrix(), dtype=jnp.float32)
         scale = jnp.float32(self.scale)
-        values = self._store.values_for(self._buffer_name)
 
         clear = prog.start_frame(draw_reason)
         del clear  # framebuffer accumulation restarts unless REFINE continues
@@ -183,15 +182,10 @@ class SPHRenderer:
                 # oversized blocks are rendered in bucket-sized pieces
                 for piece in range(0, l, bucket):
                     with self._render_timer:
-                        im, _ = _render_block(
-                            self._store.pos_smooth, values,
-                            self._store.cell_ids, self._cell_table,
-                            matrix, scale,
-                            jnp.int32(s + piece),
-                            jnp.int32(min(bucket, l - piece)),
-                            resolution=self._resolution, bucket=bucket,
-                            depth_channel=self._depth_channel,
-                            backend=self._backend)
+                        im = self._launch_block(matrix, scale,
+                                                s + piece,
+                                                min(bucket, l - piece),
+                                                bucket)
                         if first_block:
                             self._image = im
                             first_block = False
@@ -206,6 +200,17 @@ class SPHRenderer:
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
         self.has_rendered = True
         self._postprocess_frame()
+
+    def _launch_block(self, matrix, scale, start: int, count: int,
+                      bucket: int):
+        """Render one LOD block into a fresh framebuffer (device array)."""
+        im, _ = _render_block(
+            self._store.pos_smooth, self._store.values_for(self._buffer_name),
+            self._store.cell_ids, self._cell_table,
+            matrix, scale, jnp.int32(start), jnp.int32(count),
+            resolution=self._resolution, bucket=bucket,
+            depth_channel=self._depth_channel, backend=self._backend)
+        return im
 
     def _postprocess_frame(self):
         """Hook for subclasses (periodic tiling etc.)."""

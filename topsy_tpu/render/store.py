@@ -45,6 +45,7 @@ class ParticleStore:
         self.n_pad = max(MIN_BUCKET,
                          ((self.n + PAD_MULTIPLE - 1) // PAD_MULTIPLE) * PAD_MULTIPLE)
         self._quantity_name: str | None = None
+        self.values_version = 0  # bumped whenever channel buffers change
 
         pos_smooth = data_loader.get_pos_smooth()
         self.pos_smooth = self._put(self._pad(pos_smooth))
@@ -91,6 +92,7 @@ class ParticleStore:
             mq = np.stack([self._mass, self._mass * qty], axis=1)
         self.mass_and_quantity = self._put(self._pad(mq))
         self._quantity_name = name
+        self.values_version += 1
         logger.info("Rebuilt quantity channel buffer for %r", name)
 
     @property

@@ -48,11 +48,13 @@ class VisualizerBase:
                  colormap_name=config.DEFAULT_COLORMAP,
                  canvas_class=None,
                  render_mode="univariate",
-                 splat_backend=None):
+                 splat_backend=None,
+                 mesh=None):
         if render_mode is None:
             render_mode = "univariate"
         self._validate_render_mode(render_mode)
         self._render_mode = render_mode
+        self._mesh = mesh
         self._render_resolution = render_resolution
         self._periodic_tiling = periodic_tiling
         self._splat_backend = splat_backend
@@ -91,6 +93,14 @@ class VisualizerBase:
         self._cube = SimCube(self, (1, 1, 1, 0.3), 10.0)
 
     def _renderer_class_for_mode(self, render_mode):
+        if self._mesh is not None:
+            from .render import distributed
+            if render_mode in ("rgb", "rgb-hdr"):
+                return distributed.DistributedRGBSPHRenderer
+            if render_mode == "surface":
+                logger.warning("surface mode renders single-chip for now")
+                return surface.SurfaceSPHRenderer
+            return distributed.DistributedSPHRenderer
         if render_mode in ("rgb", "rgb-hdr"):
             return sph.RGBSPHRenderer
         if render_mode == "surface":
@@ -128,9 +138,15 @@ class VisualizerBase:
             renderer_class = self._renderer_class_for_mode(self._render_mode)
             logger.info("Using %s for render mode %r", renderer_class.__name__,
                         self._render_mode)
-            self._sph = renderer_class(self.store, progression,
-                                       self._render_resolution,
-                                       backend=self._splat_backend)
+            from .render.distributed import DistributedSPHRenderer
+            if issubclass(renderer_class, DistributedSPHRenderer):
+                self._sph = renderer_class(self.store, progression,
+                                           self._render_resolution, self._mesh,
+                                           backend=self._splat_backend)
+            else:
+                self._sph = renderer_class(self.store, progression,
+                                           self._render_resolution,
+                                           backend=self._splat_backend)
 
         self.reset_view(rotation_matrix=old_rotation, position_offset=old_position,
                         scale=old_scale)
