@@ -1,6 +1,6 @@
 """Headline benchmark: particle splat throughput on one chip.
 
-Renders the synthetic 2^20-particle snapshot at 1024x1024 (density +
+Renders the synthetic 2^22-particle snapshot at 1024x1024 (density +
 weighted-quantity channels, the reference's flagship configuration) through
 the full TPU splat pipeline and reports steady-state splats/second.
 
@@ -26,7 +26,7 @@ def main():
 
     resolution = 1024
     scale = 200.0
-    n = 1 << 20
+    n = 1 << 22
 
     loader = TestDataLoader(n, seed=1337)
     pos_smooth = jnp.asarray(loader.get_pos_smooth())

@@ -44,9 +44,12 @@ SUBGROUPS = 4      # particle groups processed per grid step
 def _profiles_lanes(t2, tiny, lrk, signed: bool):
     """(n, rank*G) profiles (lane-concatenated over rank) with CIC hats.
 
-    t2: (n, G) squared offsets; tiny: (1, G) CIC flags broadcast over rows.
+    t2: (n, G) squared offsets; tiny: (1, G) CIC flags broadcast over rows,
+    or None when the group is known to contain no tiny splats.
     """
-    hat = jnp.maximum(0.0, 1.0 - jnp.sqrt(jnp.maximum(t2, 0.0)))
+    hat = None
+    if tiny is not None:
+        hat = jnp.maximum(0.0, 1.0 - jnp.sqrt(jnp.maximum(t2, 0.0)))
     pieces = []
     for k in range(lrk.rank):
         acc = jnp.full_like(t2, float(lrk.coeffs[k][0]))
@@ -55,7 +58,9 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
         acc = jnp.where(t2 <= kernels.KERNEL_SUPPORT ** 2, acc, 0.0)
         if signed:
             acc = acc * float(lrk.signs[k])
-        pieces.append(jnp.where(tiny, hat if k == 0 else jnp.zeros_like(t2), acc))
+        if tiny is not None:
+            acc = jnp.where(tiny, hat if k == 0 else jnp.zeros_like(t2), acc)
+        pieces.append(acc)
     return jnp.concatenate(pieces, axis=1)
 
 
@@ -111,6 +116,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
                                        jnp.max(jnp.abs(coef_ref[0, s, c])))
             group_active = coef_any > 0.0
             all_tiny = jnp.max(ih) < 0.0
+            any_tiny = jnp.min(ih) < 0.0
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
                                             ).astype(jnp.float32)
@@ -134,8 +140,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
                         preferred_element_type=jnp.float32)
                     win_ref[c, :, :] += contrib
 
-            @pl.when(group_active & jnp.logical_not(all_tiny))
-            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
+            def poly_body(s, dy, dx, tiny, ih2):
                 ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
                 xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
                 ty2 = dy * dy * ih2
@@ -152,6 +157,17 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
                         PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32)
                     win_ref[c, :, :] += contrib
+
+            # pure-polynomial groups (the common case away from dense
+            # fields; tiny segregation makes mixed groups rare band
+            # boundaries) skip the CIC hat/select work entirely
+            @pl.when(group_active & jnp.logical_not(any_tiny))
+            def _(s=s, dy=dy, dx=dx, ih2=ih2):
+                poly_body(s, dy, dx, None, ih2)
+
+            @pl.when(group_active & any_tiny & jnp.logical_not(all_tiny))
+            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
+                poly_body(s, dy, dx, tiny, ih2)
 
             if s == SUBGROUPS - 1:
                 @pl.when(g == n_steps - 1)
