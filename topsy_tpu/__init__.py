@@ -103,7 +103,8 @@ def main():
                    sphere_center=(tuple(args.load_sphere[1:])
                                   if args.load_sphere is not None
                                   and len(args.load_sphere) == 4 else None),
-                   render_mode=args.render_mode)
+                   render_mode=args.render_mode,
+                   colormap_name=args.colormap)
         vis.quantity_name = args.quantity
         vis.canvas.show()
         visualizers.append(vis)
