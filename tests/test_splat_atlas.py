@@ -68,7 +68,8 @@ def test_atlas_matches_scatter_gmm():
     assert np.median(np.abs(qa - qs)) < 2e-7
 
 
-def test_atlas_sparse_scene_spills_but_conserves():
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_atlas_sparse_scene_spills_but_conserves(engine):
     """Very sparse scenes exercise the spill pass; mass must be conserved."""
     rng = np.random.RandomState(0)
     n = 300
@@ -76,12 +77,31 @@ def test_atlas_sparse_scene_spills_but_conserves():
     ps[:, :3] = rng.uniform(-150, 150, (n, 3))
     ps[:, 3] = rng.uniform(3.0, 8.0, n)  # small splats at level 0, sparse
     vals = np.ones((n, 1), dtype=np.float32)
-    im, dropped = render_atlas(ps, vals, make_matrix())
+    im, dropped = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                          jnp.asarray(make_matrix()), RES,
+                                          SCALE, engine=engine)
+    im, dropped = np.asarray(im), int(dropped)
     assert dropped == 0
     ref = render_scatter(ps, vals, make_matrix())
     assert im[:, :, 0].sum() == pytest.approx(ref[:, :, 0].sum(), rel=0.01)
     corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_atlas_pallas_engine_matches_scan():
+    loader = TestDataLoader(20000, seed=1337)
+    ps = loader.get_pos_smooth()
+    mass = loader.get_mass()
+    vals = np.stack([mass, mass], axis=1)
+    m = make_matrix()
+    im_s, _ = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                      jnp.asarray(m), RES, SCALE, engine="scan")
+    im_p, _ = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                      jnp.asarray(m), RES, SCALE, engine="pallas")
+    im_s, im_p = np.asarray(im_s), np.asarray(im_p)
+    # pallas uses bf16 deposit matmuls; tolerance reflects that
+    assert np.abs(im_p - im_s).max() <= 0.01 * im_s.max()
+    assert im_p.sum() == pytest.approx(im_s.sum(), rel=0.005)
 
 
 def test_atlas_z_culling_and_mask():

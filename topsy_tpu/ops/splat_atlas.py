@@ -83,7 +83,15 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     C = values.shape[1] + (1 if depth_channel else 0)
     n = pos_smooth.shape[0]
     from .splat_pallas import SUBGROUPS
-    pad_quantum = GROUP * SUBGROUPS
+    # group size adapts to the scene size: sparse scenes need smaller groups
+    # so a group's (band, column) span still fits its accumulation window
+    if n >= 1 << 18:
+        G = GROUP
+    elif n >= 1 << 14:
+        G = 128
+    else:
+        G = 64
+    pad_quantum = G * SUBGROUPS
     n_pad = max(pad_quantum, ((n + pad_quantum - 1) // pad_quantum) * pad_quantum)
 
     row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
@@ -134,9 +142,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     _, ay_s, ax_s, inv_h_s = sorted_ops[:4]
     coef_s = jnp.stack(sorted_ops[4:], axis=-1)
 
-    n_groups = n_pad // GROUP
-    ay_g2 = ay_s.reshape(n_groups, GROUP)
-    ax_g2 = ax_s.reshape(n_groups, GROUP)
+    n_groups = n_pad // G
+    ay_g2 = ay_s.reshape(n_groups, G)
+    ax_g2 = ax_s.reshape(n_groups, G)
     # window anchor per group: min row band / min column in the group
     w0 = (jnp.floor(ay_g2.min(axis=1) / BAND).astype(jnp.int32) * BAND - 2 * BAND)
     w0 = jnp.clip(w0, 0, atlas_rows - WINDOW_ROWS)
@@ -153,8 +161,8 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     else:
         window_cols = WINDOW_COLS
 
-    w0_rep = jnp.repeat(w0, GROUP).astype(jnp.float32)
-    c0_rep = jnp.repeat(c0, GROUP).astype(jnp.float32)
+    w0_rep = jnp.repeat(w0, G).astype(jnp.float32)
+    c0_rep = jnp.repeat(c0, G).astype(jnp.float32)
     fits = ((ay_s + FOOT < w0_rep + WINDOW_ROWS)
             & (ax_s + FOOT < c0_rep + window_cols)
             & (ax_s - FOOT >= c0_rep))
@@ -200,29 +208,40 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         from . import splat_pallas
         interpret = jax.default_backend() != "tpu"
         atlas_cf = splat_pallas.accumulate_groups_pallas(
-            ay_s.reshape(n_groups, 1, GROUP),
-            ax_s.reshape(n_groups, 1, GROUP),
-            inv_h_s.reshape(n_groups, 1, GROUP),
-            coef_fit.reshape(n_groups, GROUP, C).transpose(0, 2, 1),
+            ay_s.reshape(n_groups, 1, G),
+            ax_s.reshape(n_groups, 1, G),
+            inv_h_s.reshape(n_groups, 1, G),
+            coef_fit.reshape(n_groups, G, C).transpose(0, 2, 1),
             w0, c0, atlas_rows=atlas_rows, atlas_cols=atlas_cols, C=C,
-            group=GROUP, interpret=interpret)
+            group=G, interpret=interpret)
         atlas = atlas_cf.transpose(1, 2, 0)
     else:
         atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
         per_group = (ay_g2, ax_g2,
-                     inv_h_s.reshape(n_groups, GROUP),
-                     coef_fit.reshape(n_groups, GROUP, C),
+                     inv_h_s.reshape(n_groups, G),
+                     coef_fit.reshape(n_groups, G, C),
                      w0, c0)
         atlas, _ = jax.lax.scan(body, atlas0, per_group)
 
     # ---- spill pass: particles too sparse for their group window ----------
+    # re-run the same windowed machinery with much smaller groups (G=64) on
+    # the spilled subset, re-sorted by (band, column); groups that small fit
+    # their windows except in pathologically empty regions, whose few
+    # stragglers are dropped with an explicit count.
     spilled = ~fits & (jnp.abs(coef_s).sum(axis=1) > 0.0)
     n_spill = spilled.sum()
-    spill_cap = min(SPILL_CAP, n_pad)
+    G_SPILL = max(16, G // 8)
+    # observed spill rates are ~0.1-0.3% (row misfits in sparse bands); the
+    # capacity scales with the scene so the tier-2 pass stays ~1ms, with the
+    # dropped counter flagging any overflow
+    spill_cap = min(SPILL_CAP, max(2048, n_pad // 64), n_pad)
+    spill_cap = (spill_cap // (G_SPILL * 4)) * (G_SPILL * 4)
 
     def do_spill(atlas):
-        big = jnp.int32(n_pad)
-        skey = jnp.where(spilled, jnp.arange(n_pad, dtype=jnp.int32), big)
+        big = jnp.int32(np.iinfo(np.int32).max)
+        band2 = jnp.floor(ay_s / BAND).astype(jnp.int32)
+        x2 = jnp.clip(jnp.floor(ax_s).astype(jnp.int32), 0, 2047)
+        skey = jnp.where(spilled, band2 * 4096 + x2, big)
         ops = jax.lax.sort((skey, ay_s, ax_s, inv_h_s)
                            + tuple(coef_s[:, c] for c in range(C)), num_keys=1)
         valid = ops[0][:spill_cap] < big
@@ -232,25 +251,102 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         s_coef = jnp.stack([o[:spill_cap] for o in ops[4:]], axis=-1)
         s_coef = jnp.where(valid[:, None], s_coef, 0.0)
 
-        rows_full = jnp.arange(atlas_rows, dtype=jnp.float32)
-        cols_full = jnp.arange(atlas_cols, dtype=jnp.float32)
+        n_sg = spill_cap // G_SPILL
+        ay2 = s_ay.reshape(n_sg, G_SPILL)
+        valid2 = valid.reshape(n_sg, G_SPILL)
+        # windows anchored on valid members only (padding must not drag them)
+        ay2m = jnp.where(valid2, ay2, jnp.inf).min(axis=1)
+        ay2m = jnp.where(jnp.isfinite(ay2m), ay2m, float(ROW_PAD))
+        sw0 = (jnp.floor(ay2m / BAND).astype(jnp.int32) * BAND - 2 * BAND)
+        sw0 = jnp.clip(sw0, 0, atlas_rows - WINDOW_ROWS)
+        # spill windows span the full atlas width, so only row-stragglers
+        # (pathologically empty 40-row stretches) fall through to tier 3
+        sc0 = jnp.zeros_like(sw0)
 
-        def sbody(atlas, inputs):
-            ay_g, ax_g, inv_h_g, coef_g = inputs
-            contrib = group_contribution(ay_g, ax_g, inv_h_g, coef_g,
-                                         jnp.float32(0.0), jnp.float32(0.0),
-                                         rows_full, cols_full)
-            return atlas + contrib, None
+        sw0_rep = jnp.repeat(sw0, G_SPILL).astype(jnp.float32)
+        fits2 = (s_ay + FOOT < sw0_rep + WINDOW_ROWS) & valid
+        s_coef_fit = jnp.where(fits2[:, None], s_coef, 0.0)
+        straggler = ~fits2 & valid
+        n3 = straggler.sum()
 
-        n_sgroups = spill_cap // GROUP
-        atlas, _ = jax.lax.scan(
-            sbody, atlas,
-            (s_ay.reshape(n_sgroups, GROUP), s_ax.reshape(n_sgroups, GROUP),
-             s_ih.reshape(n_sgroups, GROUP), s_coef.reshape(n_sgroups, GROUP, C)))
-        return atlas
+        if engine == "pallas":
+            from . import splat_pallas
+            interpret = jax.default_backend() != "tpu"
+            atlas_cf = splat_pallas.accumulate_groups_pallas(
+                s_ay.reshape(n_sg, 1, G_SPILL),
+                s_ax.reshape(n_sg, 1, G_SPILL),
+                s_ih.reshape(n_sg, 1, G_SPILL),
+                s_coef_fit.reshape(n_sg, G_SPILL, C).transpose(0, 2, 1),
+                sw0, sc0, atlas_rows=atlas_rows, atlas_cols=atlas_cols,
+                C=C, group=G_SPILL, interpret=interpret,
+                atlas0=atlas.transpose(2, 0, 1), window_cols=atlas_cols)
+            atlas = atlas_cf.transpose(1, 2, 0)
+        else:
+            rows_w = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+            cols_full = jnp.arange(atlas_cols, dtype=jnp.float32)
 
-    atlas = jax.lax.cond(n_spill > 0, do_spill, lambda a: a, atlas)
-    dropped = jnp.maximum(n_spill - spill_cap, 0)
+            def sbody(atlas, inputs):
+                ay_g, ax_g, ih_g, coef_g, w0_g = inputs
+                contrib = group_contribution(ay_g, ax_g, ih_g, coef_g,
+                                             w0_g.astype(jnp.float32),
+                                             jnp.float32(0.0),
+                                             rows_w, cols_full)
+                cur = jax.lax.dynamic_slice(atlas, (w0_g, 0, 0),
+                                            (WINDOW_ROWS, atlas_cols, C))
+                return jax.lax.dynamic_update_slice(atlas, cur + contrib,
+                                                    (w0_g, 0, 0)), None
+
+            atlas, _ = jax.lax.scan(
+                sbody, atlas,
+                (ay2, s_ax.reshape(n_sg, G_SPILL),
+                 s_ih.reshape(n_sg, G_SPILL),
+                 s_coef_fit.reshape(n_sg, G_SPILL, C), sw0))
+
+        # ---- final tier: per-particle windows (fit by construction) -------
+        T3 = min(1024, spill_cap)
+
+        def do_t3(atlas):
+            big3 = jnp.int32(np.iinfo(np.int32).max)
+            key3 = jnp.where(straggler,
+                             jnp.arange(spill_cap, dtype=jnp.int32), big3)
+            ops3 = jax.lax.sort((key3, s_ay, s_ax, s_ih)
+                                + tuple(s_coef[:, c] for c in range(C)),
+                                num_keys=1)
+            valid3 = ops3[0][:T3] < big3
+            t_ay = ops3[1][:T3]
+            t_ax = ops3[2][:T3]
+            t_ih = ops3[3][:T3]
+            t_coef = jnp.stack([o[:T3] for o in ops3[4:]], axis=-1)
+            t_coef = jnp.where(valid3[:, None], t_coef, 0.0)
+            tw0 = (jnp.floor(t_ay / BAND).astype(jnp.int32) * BAND - 2 * BAND)
+            tw0 = jnp.clip(tw0, 0, atlas_rows - WINDOW_ROWS)
+            # per-particle column windows always fit (footprint <= 17 px)
+            tc0 = jnp.floor(t_ax - FOOT).astype(jnp.int32)
+            tc0 = jnp.clip(tc0, 0, atlas_cols - WINDOW_COLS)
+            rows_w = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+            cols_w = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
+
+            def tbody(atlas, inputs):
+                ay_g, ax_g, ih_g, coef_g, w0_g, c0_g = inputs
+                contrib = group_contribution(
+                    ay_g[None], ax_g[None], ih_g[None], coef_g[None],
+                    w0_g.astype(jnp.float32), c0_g.astype(jnp.float32),
+                    rows_w, cols_w)
+                cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
+                                            (WINDOW_ROWS, WINDOW_COLS, C))
+                return jax.lax.dynamic_update_slice(atlas, cur + contrib,
+                                                    (w0_g, c0_g, 0)), None
+
+            atlas, _ = jax.lax.scan(tbody, atlas,
+                                    (t_ay, t_ax, t_ih, t_coef, tw0, tc0))
+            return atlas
+
+        atlas = jax.lax.cond(n3 > 0, do_t3, lambda a: a, atlas)
+        return atlas, jnp.maximum(n3 - T3, 0)
+
+    atlas, t3_dropped = jax.lax.cond(n_spill > 0, do_spill,
+                                     lambda a: (a, jnp.int32(0)), atlas)
+    dropped = jnp.maximum(n_spill - spill_cap, 0) + t3_dropped
 
     return collapse_atlas(atlas, pyramid), dropped
 

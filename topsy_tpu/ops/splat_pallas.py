@@ -64,7 +64,8 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
+def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
+                 window_cols: int):
 
     def kernel(w0_ref, c0_ref, ay_ref, ax_ref, ih_ref, coef_ref,
                atlas_in_ref, atlas_out_ref, win_ref, sem_in, sem_out):
@@ -74,7 +75,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
         def flush(idx):
             sl = (slice(None),
                   pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
-                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), WINDOW_COLS))
+                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), window_cols))
             out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
             out.start()
             out.wait()
@@ -82,7 +83,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
         def load(idx):
             sl = (slice(None),
                   pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
-                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), WINDOW_COLS))
+                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), window_cols))
             dma = pltpu.make_async_copy(atlas_out_ref.at[sl], win_ref, sem_in)
             dma.start()
             dma.wait()
@@ -120,7 +121,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
                                             ).astype(jnp.float32)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_COLS, group), 0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (window_cols, group), 0
                                             ).astype(jnp.float32)
             dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
             dx = c0.astype(jnp.float32) + cols - ax       # (W, G)
@@ -173,7 +174,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
                 @pl.when(g == n_steps - 1)
                 def _(w0=w0, c0=c0):
                     sl = (slice(None), pl.ds(w0, WINDOW_ROWS),
-                          pl.ds(c0, WINDOW_COLS))
+                          pl.ds(c0, window_cols))
                     out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl],
                                                 sem_out)
                     out.start()
@@ -184,16 +185,18 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float):
 
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "C", "group",
-                                    "interpret"))
+                                    "interpret", "window_cols"))
 def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
                              atlas_rows: int, atlas_cols: int, C: int,
-                             group: int, interpret: bool = False):
+                             group: int, interpret: bool = False,
+                             atlas0=None, window_cols: int = WINDOW_COLS):
     """Run the fused accumulation.
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
     w0: (n_groups,) int32 row starts (8-aligned); c0: (n_groups,) int32 col
     starts (128-aligned).  n_groups must be a multiple of SUBGROUPS.
-    Returns the atlas (C, atlas_rows, atlas_cols).
+    Accumulates on top of ``atlas0`` (zeros if None); returns the atlas
+    (C, atlas_rows, atlas_cols).
     """
     n_groups = w0.shape[0]
     assert n_groups % SUBGROUPS == 0, n_groups
@@ -201,7 +204,7 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
     lrk = kernels.lowrank_kernel()
     from .splat_atlas import FOOT
 
-    kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT))
+    kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols)
 
     # blocks carry SUBGROUPS groups per step
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
@@ -222,13 +225,14 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, WINDOW_ROWS, WINDOW_COLS), jnp.float32),
+            pltpu.VMEM((C, WINDOW_ROWS, window_cols), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
     )
 
-    atlas0 = jnp.zeros((C, atlas_rows, atlas_cols), dtype=jnp.float32)
+    if atlas0 is None:
+        atlas0 = jnp.zeros((C, atlas_rows, atlas_cols), dtype=jnp.float32)
     return pl.pallas_call(
         kernel,
         grid_spec=grid_spec,

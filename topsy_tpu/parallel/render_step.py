@@ -51,11 +51,11 @@ def unstride(arr: np.ndarray) -> np.ndarray:
 
 def local_bucket_size(count_hint: int, local_n: int) -> int:
     """Power-of-two local bucket covering a global range on one shard."""
-    from ..render.store import MIN_BUCKET
+    from ..render.store import MAX_BUCKET, MIN_BUCKET
     b = MIN_BUCKET
-    while b < count_hint:
+    while b < count_hint and b < MAX_BUCKET:
         b *= 2
-    return min(b, local_n)
+    return min(b, local_n, MAX_BUCKET)
 
 
 class DistributedSplatter:
@@ -136,8 +136,18 @@ class DistributedSplatter:
         """Render the global LOD range [start, start+count) across the mesh."""
         if count is None:
             count = self.n
-        bucket = local_bucket_size(-(-int(count) // self.n_devices) + 2,
-                                   self.local_n)
+        from ..render.store import MAX_BUCKET
+        local_needed = -(-int(count) // self.n_devices) + 2
+        if local_needed > MAX_BUCKET:
+            # piece ranges larger than one launch and sum (additive blending)
+            piece = MAX_BUCKET * self.n_devices // 2
+            total = None
+            for s in range(int(start), int(start + count), piece):
+                im = self.render(matrix, scale, s,
+                                 min(piece, start + count - s), cell_mask)
+                total = im if total is None else total + im
+            return total
+        bucket = local_bucket_size(local_needed, self.local_n)
         step = self._steps.get(bucket)
         if step is None:
             step = self._steps[bucket] = self._build_step(bucket)

@@ -173,6 +173,10 @@ class SPHRenderer:
         else:
             first_block = False
 
+        # EXPORT frames need no per-block timing feedback: launches pipeline
+        # asynchronously and sync once at the end
+        sync_blocks = draw_reason != DrawReason.EXPORT
+
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
             for s, l in zip(starts, lens):
@@ -191,8 +195,13 @@ class SPHRenderer:
                             first_block = False
                         else:
                             self._image = self._image + im
-                        jax.block_until_ready(self._image)
+                        if sync_blocks:
+                            jax.block_until_ready(self._image)
             prog.end_block(self._render_timer.total_time_in_frame())
+
+        if not sync_blocks and self._image is not None:
+            with self._render_timer:
+                jax.block_until_ready(self._image)
 
         self._render_timer.end_frame()
         self.last_render_mass_scale = prog.end_frame_get_scalefactor()

@@ -25,14 +25,18 @@ logger = logging.getLogger(__name__)
 
 PAD_MULTIPLE = 512
 MIN_BUCKET = 4096
+MAX_BUCKET = 1 << 22
+# per-launch particle cap: the splat kernel's scalar-prefetched window
+# arrays live in SMEM (1MB), which bounds the group count per pallas_call;
+# larger blocks are rendered in bucket-sized pieces by the render loop.
 
 
 def bucket_size(n: int, n_max: int) -> int:
-    """Smallest power-of-two bucket >= n (clamped to [MIN_BUCKET, n_max])."""
+    """Smallest power-of-two bucket >= n, in [MIN_BUCKET, min(n_max, MAX_BUCKET)]."""
     b = MIN_BUCKET
-    while b < n:
+    while b < n and b < MAX_BUCKET:
         b *= 2
-    return min(b, n_max)
+    return min(b, n_max, MAX_BUCKET)
 
 
 class ParticleStore:

@@ -96,6 +96,7 @@ class SurfaceSPHRenderer(SPHRenderer):
         first_block = draw_reason != DrawReason.REFINE or self._image is None
 
         from .store import bucket_size
+        sync_blocks = draw_reason != DrawReason.EXPORT
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
             for s, l in zip(starts, lens):
@@ -116,8 +117,12 @@ class SurfaceSPHRenderer(SPHRenderer):
                             first_block = False
                         else:
                             self._image = _max_composite(self._image, im)
-                        jax.block_until_ready(self._image)
+                        if sync_blocks:
+                            jax.block_until_ready(self._image)
             prog.end_block(self._render_timer.total_time_in_frame())
+        if not sync_blocks and self._image is not None:
+            with self._render_timer:
+                jax.block_until_ready(self._image)
 
         self._render_timer.end_frame()
         prog.end_frame_get_scalefactor()
