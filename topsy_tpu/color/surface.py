@@ -44,6 +44,8 @@ class ColorAsSurfaceMap(Colormap):
                                        self._params.get("smoothing_scale", 0.01)))
 
     def autorange_vmin_vmax(self, vals: np.ndarray):
+        if not self._params.get("weighted_average", False):
+            return  # vmin/vmax drive only the material colormap
         valid = vals[..., 1].ravel() > 0.0
         self._autorange_using_values(vals[..., 0].ravel()[valid])
 
