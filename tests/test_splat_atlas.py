@@ -104,6 +104,25 @@ def test_atlas_pallas_engine_matches_scan():
     assert im_p.sum() == pytest.approx(im_s.sum(), rel=0.005)
 
 
+def test_non_power_of_two_resolution_mass_exact():
+    """Level upsampling must be an exact 2x (then crop) so odd resolutions
+    conserve mass (regression: floor-sized levels inflated it ~1.5%)."""
+    rng = np.random.RandomState(0)
+    n = 2000
+    ps = np.zeros((n, 4), dtype=np.float32)
+    ps[:, :3] = rng.uniform(-80, 80, (n, 3))
+    ps[:, 3] = rng.uniform(0.2, 30.0, n)
+    vals = np.ones((n, 1), dtype=np.float32)
+    for res in (333, 250):
+        im, dropped = splat_atlas.splat_atlas(
+            jnp.asarray(ps), jnp.asarray(vals),
+            jnp.asarray(make_matrix()), res, SCALE)
+        pix = (2 * SCALE / res) ** 2
+        assert int(dropped) == 0
+        assert float(np.asarray(im[:, :, 0]).sum()) * pix / n == \
+            pytest.approx(1.0, rel=0.005)
+
+
 def test_atlas_z_culling_and_mask():
     ps = np.array([[0.0, 0.0, 0.0, 5.0],
                    [0.0, 0.0, 500.0, 5.0]], dtype=np.float32)  # second z-culled

@@ -52,7 +52,10 @@ class PyramidSpec:
 
     @property
     def level_resolutions(self) -> tuple[int, ...]:
-        return tuple(max(1, self.resolution >> l) for l in range(self.num_levels))
+        # ceil division: every level fully covers the image so non-power-of-2
+        # resolutions upsample by an exact factor of 2 (then crop)
+        return tuple(max(1, -(-self.resolution // (1 << l)))
+                     for l in range(self.num_levels))
 
     @property
     def padded_sizes(self) -> tuple[int, ...]:
@@ -309,8 +312,9 @@ def collapse_pyramid(flat_buffer: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndar
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
         target = pyramid.level_resolutions[l]
-        up = jax.image.resize(out, (target, target, C), method="linear",
-                              antialias=False)
+        n_in = out.shape[0]
+        up = jax.image.resize(out, (2 * n_in, 2 * n_in, C), method="linear",
+                              antialias=False)[:target, :target]
         out = levels[l] + up
     return out
 

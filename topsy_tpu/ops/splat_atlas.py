@@ -362,7 +362,8 @@ def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
         target = pyramid.level_resolutions[l]
-        up = jax.image.resize(out, (target, target, C), method="linear",
-                              antialias=False)
+        n_in = out.shape[0]
+        up = jax.image.resize(out, (2 * n_in, 2 * n_in, C), method="linear",
+                              antialias=False)[:target, :target]
         out = levels[l] + up
     return out

@@ -124,10 +124,11 @@ def _collapse_max(dbuf, vbuf, pyramid: PyramidSpec):
     dout, vout = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
         target = pyramid.level_resolutions[l]
-        dup = jax.image.resize(dout, (target, target), method="linear",
-                               antialias=False)
-        vup = jax.image.resize(vout, (target, target), method="linear",
-                               antialias=False)
+        n_in = dout.shape[0]
+        dup = jax.image.resize(dout, (2 * n_in, 2 * n_in), method="linear",
+                               antialias=False)[:target, :target]
+        vup = jax.image.resize(vout, (2 * n_in, 2 * n_in), method="linear",
+                               antialias=False)[:target, :target]
         dfine, vfine = levels[l]
         front = dfine >= dup
         dout = jnp.where(front, dfine, dup)

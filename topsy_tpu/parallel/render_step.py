@@ -65,6 +65,49 @@ class DistributedSplatter:
     locally), per-cell geometric culling, and the optional depth channel.
     """
 
+    @classmethod
+    def from_process_local(cls, mesh: Mesh, local_pos_smooth: np.ndarray,
+                           local_values: np.ndarray, resolution: int,
+                           global_n: int, **kwargs) -> "DistributedSplatter":
+        """Multi-host construction: each process supplies the rows owned by
+        its local devices (global indices i with i % D giving a local
+        device), assembled with jax.make_array_from_process_local_data so no
+        host ever materializes the full snapshot.  DCN is touched only here;
+        the render step's psum rides ICI.
+        """
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        self = cls.__new__(cls)
+        self.mesh = mesh
+        self.axis = mesh.axis_names[0]
+        self.n_devices = int(mesh.shape[self.axis])
+        self.resolution = resolution
+        self.n = global_n
+        self.local_n = -(-global_n // self.n_devices)
+        self._depth_channel = kwargs.get("depth_channel", False)
+        self._backend = kwargs.get("backend", "atlas")
+        sharding = NamedSharding(mesh, P(self.axis))
+        n_local_dev = len([d for d in mesh.devices.flat
+                           if d.process_index == jax.process_index()])
+        shape4 = (self.n_devices, self.local_n, 4)
+        shapeC = (self.n_devices, self.local_n, local_values.shape[-1])
+        self.pos_smooth = jax.make_array_from_process_local_data(
+            sharding, local_pos_smooth.reshape(n_local_dev, self.local_n, 4),
+            shape4)
+        self.values = jax.make_array_from_process_local_data(
+            sharding, local_values.reshape(n_local_dev, self.local_n, -1),
+            shapeC)
+        cell_ids = kwargs.get("cell_ids")
+        if cell_ids is None:
+            cell_ids = np.zeros(n_local_dev * self.local_n, dtype=np.int32)
+        self.n_cells = kwargs.get("n_cells", int(cell_ids.max()) + 1)
+        self.cell_ids = jax.make_array_from_process_local_data(
+            sharding, cell_ids.reshape(n_local_dev, self.local_n),
+            (self.n_devices, self.local_n))
+        self._all_cells = jnp.ones((self.n_cells,), dtype=bool)
+        self._steps = {}
+        return self
+
     def __init__(self, mesh: Mesh, pos_smooth: np.ndarray, values: np.ndarray,
                  resolution: int, cell_ids: np.ndarray | None = None,
                  backend: str = "atlas", depth_channel: bool = False):

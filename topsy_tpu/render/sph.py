@@ -213,13 +213,21 @@ class SPHRenderer:
     def _launch_block(self, matrix, scale, start: int, count: int,
                       bucket: int):
         """Render one LOD block into a fresh framebuffer (device array)."""
-        im, _ = _render_block(
+        im, dropped = _render_block(
             self._store.pos_smooth, self._store.values_for(self._buffer_name),
             self._store.cell_ids, self._cell_table,
             matrix, scale, jnp.int32(start), jnp.int32(count),
             resolution=self._resolution, bucket=bucket,
             depth_channel=self._depth_channel, backend=self._backend)
+        self._dropped_splats = dropped  # device scalar; checked lazily
         return im
+
+    @property
+    def last_dropped_splats(self) -> int:
+        """Splats dropped by the bounded spill tiers in the last block
+        (normally 0; nonzero indicates a pathologically sparse scene)."""
+        d = getattr(self, "_dropped_splats", None)
+        return 0 if d is None else int(np.asarray(d))
 
     def _postprocess_frame(self):
         """Hook for subclasses (periodic tiling etc.)."""
