@@ -200,16 +200,47 @@ class Colormap(ColormapBase):
             return np.min(vv), np.max(vv)
         return np.nan, np.nan
 
-    def autorange_vmin_vmax(self, vals: np.ndarray):
-        vals = self.sph_raw_output_to_content(vals).ravel()
-        self._autorange_using_values(vals)
+    def autorange_vmin_vmax(self, vals):
+        if isinstance(vals, jnp.ndarray) and not isinstance(vals, np.ndarray):
+            # keep the percentile on device (histogram + psum-replicated
+            # framebuffer; only scalars cross the host boundary)
+            content = self._raw_to_content_device(vals).ravel()
+            self._autorange_using_values(content)
+        else:
+            self._autorange_using_values(
+                self.sph_raw_output_to_content(np.asarray(vals)).ravel())
 
-    def _autorange_using_values(self, vals: np.ndarray):
+    def _raw_to_content_device(self, raw: jnp.ndarray) -> jnp.ndarray:
+        if self._params["weighted_average"]:
+            return raw[..., 1] / raw[..., 0]
+        return raw[..., 0]
+
+    def _autorange_using_values(self, vals):
+        from ..ops import stats
+
         new_params = {}
-        with np.errstate(divide="ignore", invalid="ignore"):
-            log_vals = np.log10(vals)
-        log_min, log_max = self._finite_range(log_vals)
-        vmin, vmax = self._finite_range(vals)
+        if isinstance(vals, jnp.ndarray) and not isinstance(vals, np.ndarray):
+            lin_p, n_lin, vmin, vmax = stats.percentiles(
+                vals, self.percentile_scaling)
+            log_p, n_log, log_min, log_max = stats.percentiles(
+                jnp.log10(vals), self.percentile_scaling)
+            any_neg = bool(np.asarray((vals < 0).any()))
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                log_vals = np.log10(vals)
+            log_min, log_max = self._finite_range(log_vals)
+            vmin, vmax = self._finite_range(vals)
+            any_neg = bool((vals < 0).any())
+            lin_f = vals[np.isfinite(vals)]
+            log_f = log_vals[np.isfinite(log_vals)]
+            n_lin, n_log = len(lin_f), len(log_f)
+            lin_p = (np.percentile(lin_f, self.percentile_scaling)
+                     if n_lin > 200 else
+                     np.array([lin_f.min(), lin_f.max()]) if n_lin > 2 else None)
+            log_p = (np.percentile(log_f, self.percentile_scaling)
+                     if n_log > 200 else
+                     np.array([log_f.min(), log_f.max()]) if n_log > 2 else None)
+
         if log_max == log_min:
             log_max += 1.0
             log_min -= 1.0
@@ -218,15 +249,12 @@ class Colormap(ColormapBase):
             vmin -= 1.0
         new_params["ui_range_linear"] = (vmin, vmax)
         new_params["ui_range_log"] = (log_min, log_max)
-        new_params["log"] = not (vals < 0).any()
+        new_params["log"] = not any_neg
 
-        use = log_vals if new_params["log"] else vals
-        use = use[np.isfinite(use)]
-        if len(use) > 200:
+        use_p, use_n = (log_p, n_log) if new_params["log"] else (lin_p, n_lin)
+        if use_n > 2 and use_p is not None:
             self._params["vmin"], self._params["vmax"] = \
-                np.percentile(use, self.percentile_scaling)
-        elif len(use) > 2:
-            self._params["vmin"], self._params["vmax"] = np.min(use), np.max(use)
+                float(use_p[0]), float(use_p[-1])
         else:
             logger.warning("Unable to autorange: too few finite values")
             self._params["vmin"], self._params["vmax"] = 0.0, 1.0

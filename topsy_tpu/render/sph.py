@@ -133,6 +133,13 @@ class SPHRenderer:
             self.render(DrawReason.EXPORT)
         return np.asarray(self._image)
 
+    def get_image_device(self):
+        """Raw SPH map as a device array, photometrically rescaled — lets
+        consumers (autorange) reduce on device without a readback."""
+        if not self.has_rendered:
+            self.render(DrawReason.EXPORT)
+        return self.get_output_image() * self.last_render_mass_scale
+
     def get_depth_image(self, depth_renderer_reason=DrawReason.CHANGE) -> np.ndarray:
         """Weighted mean depth in world units, for UI point-of-interest picks
         (reference: sph.py:100-116)."""

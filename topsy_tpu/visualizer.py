@@ -171,7 +171,7 @@ class VisualizerBase:
 
         if changed_type or params.get("vmin") is None or params.get("vmax") is None:
             logger.info("Autoranging colormap parameters")
-            self._colormap.autorange(self._sph.get_image())
+            self._colormap.autorange(self._sph.get_image_device())
 
         if show_colorbar:
             params = self._colormap.get_parameters()
@@ -303,7 +303,7 @@ class VisualizerBase:
         self.canvas.request_draw(lambda: self.draw(reason))
 
     def colormap_autorange(self):
-        self._colormap.autorange(self._sph.get_image())
+        self._colormap.autorange(self._sph.get_image_device())
         self.invalidate(DrawReason.PRESENTATION_CHANGE)
 
     # -- drawing --------------------------------------------------------------------
