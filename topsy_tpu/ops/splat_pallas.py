@@ -36,7 +36,7 @@ from jax.experimental.pallas import tpu as pltpu
 from . import kernels
 
 WINDOW_ROWS = 64
-WINDOW_COLS = 384  # 256-px logical window + 128 for lane alignment of c0
+WINDOW_COLS = 256  # 128-px logical window + 128 for lane alignment of c0
 COL_ALIGN = 128
 SUBGROUPS = 4      # particle groups processed per grid step
 
