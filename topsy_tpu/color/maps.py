@@ -13,6 +13,7 @@ tree) are identical, so mode switching behaves the same way.
 
 from __future__ import annotations
 
+import functools
 import logging
 
 import jax
@@ -31,6 +32,47 @@ logger = logging.getLogger(__name__)
 
 def _log10(x):
     return jnp.log(x) / 2.30258509
+
+
+# ---------------------------------------------------------------------------
+# jitted mapping kernels (compiled once per static mode; interactive frames
+# then cost one dispatch instead of dozens of eager ops)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("log", "weighted"))
+def _map_univariate(raw, lut, vmin, vmax, *, log, weighted):
+    value = raw[..., 1] / raw[..., 0] if weighted else raw[..., 0]
+    if log:
+        value = _log10(value)
+    norm = jnp.clip((value - vmin) / (vmax - vmin), 0.0, 1.0)
+    norm = jnp.where(jnp.isfinite(norm), norm, 0.0)
+    return sample_lut_1d(norm, lut)
+
+
+@functools.partial(jax.jit, static_argnames=("log", "clip"))
+def _map_rgb(raw, vmin, vmax, gamma, *, log, clip):
+    value = _log10(raw) if log else raw
+    norm = jnp.maximum((value - vmin) / (vmax - vmin), 0.0)
+    norm = jnp.where(jnp.isfinite(norm), norm, 0.0)
+    mapped = norm ** gamma
+    if clip:
+        mapped = jnp.clip(mapped, 0.0, 1.0)
+    alpha = jnp.ones_like(mapped[..., :1])
+    return jnp.concatenate([mapped, alpha], axis=-1)
+
+
+@functools.partial(jax.jit, static_argnames=("log", "weighted"))
+def _map_bivariate(raw, lut, vmin, vmax, dmin, dmax, *, log, weighted):
+    den = _log10(raw[..., 0])
+    u = (den - dmin) / (dmax - dmin)
+    val = raw[..., 1] / raw[..., 0] if weighted else raw[..., 0]
+    if log:
+        val = _log10(val)
+    v = (val - vmin) / (vmax - vmin)
+    u = jnp.where(jnp.isfinite(u), u, 0.0)
+    v = jnp.where(jnp.isfinite(v), v, 0.0)
+    # LUT rows are colour (quantity), columns lightness (density)
+    return sample_lut_2d(v, u, lut)
 
 
 def sample_lut_1d(values: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarray:
@@ -59,6 +101,7 @@ def sample_lut_2d(u: jnp.ndarray, v: jnp.ndarray, lut: jnp.ndarray) -> jnp.ndarr
             + v10 * fx * (1 - fy) + v11 * fx * fy)
 
 
+@functools.partial(jax.jit, static_argnames=("width", "height"))
 def fit_to_window(square: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
     """Aspect-ratio central crop + resize of the square render onto a
     (height, width) window, matching the reference's quad stretch
@@ -178,17 +221,12 @@ class Colormap(ColormapBase):
         return vmin / mass_scale, vmax / mass_scale
 
     def to_rgba(self, raw_image, mass_scale: float = 1.0) -> jnp.ndarray:
-        raw_image = jnp.asarray(raw_image)
         vmin, vmax = self._effective_vmin_vmax(mass_scale)
-        if self._params.get("weighted_average", False):
-            value = raw_image[..., 1] / raw_image[..., 0]
-        else:
-            value = raw_image[..., 0]
-        if self._params["log"]:
-            value = _log10(value)
-        norm = jnp.clip((value - vmin) / (vmax - vmin), 0.0, 1.0)
-        norm = jnp.where(jnp.isfinite(norm), norm, 0.0)
-        return sample_lut_1d(norm, self.lut())
+        return _map_univariate(
+            jnp.asarray(raw_image), self.lut(),
+            jnp.float32(vmin), jnp.float32(vmax),
+            log=bool(self._params["log"]),
+            weighted=bool(self._params.get("weighted_average", False)))
 
     # -- autorange (reference: implementation.py:381-425) -------------------------
 
@@ -321,17 +359,13 @@ class RGBColormap(Colormap):
         return numpy_image[..., :3]
 
     def to_rgba(self, raw_image, mass_scale: float = 1.0) -> jnp.ndarray:
-        raw_image = jnp.asarray(raw_image)[..., :3]
         vmin, vmax = self._effective_vmin_vmax(mass_scale)
         gamma = self._params.get("gamma", 1.0) or 1.0
-        value = _log10(raw_image) if self._params["log"] else raw_image
-        norm = jnp.maximum((value - vmin) / (vmax - vmin), 0.0)
-        norm = jnp.where(jnp.isfinite(norm), norm, 0.0)
-        mapped = norm ** gamma
-        if not self.hdr_output():
-            mapped = jnp.clip(mapped, 0.0, 1.0)
-        alpha = jnp.ones_like(mapped[..., :1])
-        return jnp.concatenate([mapped, alpha], axis=-1)
+        return _map_rgb(jnp.asarray(raw_image)[..., :3],
+                        jnp.float32(vmin), jnp.float32(vmax),
+                        jnp.float32(gamma),
+                        log=bool(self._params["log"]),
+                        clip=not self.hdr_output())
 
     def hdr_output(self) -> bool:
         return False
@@ -405,26 +439,17 @@ class BivariateColormap(Colormap):
         return ret
 
     def to_rgba(self, raw_image, mass_scale: float = 1.0) -> jnp.ndarray:
-        raw_image = jnp.asarray(raw_image)
         vmin, vmax = self._effective_vmin_vmax(mass_scale)
         dmin = self._params.get("density_vmin", 0.0) or 0.0
         dmax = self._params.get("density_vmax", 1.0) or 1.0
         shift = np.log10(mass_scale)
-        dmin, dmax = dmin - shift, dmax - shift
-
-        den = _log10(raw_image[..., 0])
-        u = (den - dmin) / (dmax - dmin)
-        if self._params.get("weighted_average", False):
-            val = raw_image[..., 1] / raw_image[..., 0]
-        else:
-            val = raw_image[..., 0]
-        if self._params["log"]:
-            val = _log10(val)
-        v = (val - vmin) / (vmax - vmin)
-        u = jnp.where(jnp.isfinite(u), u, 0.0)
-        v = jnp.where(jnp.isfinite(v), v, 0.0)
-        # LUT rows are colour (quantity), columns lightness (density)
-        return sample_lut_2d(v, u, self.lut())
+        return _map_bivariate(jnp.asarray(raw_image), self.lut(),
+                              jnp.float32(vmin), jnp.float32(vmax),
+                              jnp.float32(dmin - shift),
+                              jnp.float32(dmax - shift),
+                              log=bool(self._params["log"]),
+                              weighted=bool(self._params.get("weighted_average",
+                                                             False)))
 
     def autorange_vmin_vmax(self, vals: np.ndarray):
         vals = self.sph_raw_output_to_content(vals)
