@@ -69,15 +69,10 @@ SPLAT_WINDOW = 16
 SPLAT_PYRAMID_LEVELS = 7
 # levels 0..6 -> level L resolution = resolution / 2^L (coarsest 16px).
 
-SPLAT_CHUNK = 512
-# particles per matmul chunk in the atlas splatter.
-
 SPLAT_BAND_ROWS = 8
-# rows per sort band; chunk output windows are aligned to this.
-
-SPLAT_WINDOW_ROWS = 64
-# rows of the dynamic output window each chunk accumulates into; chunks whose
-# particles do not fit this window spill into the dense fallback pass.
+# rows per sort band; group output windows are aligned to this (the group
+# sizes and window shapes themselves live in ops/splat_atlas.py /
+# ops/splat_pallas.py, where they are tuned together).
 
 SPLAT_ATLAS_PAD = 64
 # padding rows between pyramid levels in the atlas canvas (>= WINDOW_ROWS so
