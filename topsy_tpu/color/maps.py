@@ -431,7 +431,7 @@ class BivariateColormap(Colormap):
         return rgba
 
     def sph_raw_output_to_content(self, numpy_image: np.ndarray) -> np.ndarray:
-        ret = numpy_image.copy()
+        ret = np.array(numpy_image)  # device arrays come through here too
         if self._params["weighted_average"]:
             ret[..., 1] /= ret[..., 0]
         else:

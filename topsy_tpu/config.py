@@ -50,8 +50,12 @@ SPLAT_KERNEL_RANK = 3
 # rank of the separable (eigen) decomposition of the projected SPH kernel;
 # rank 3 reproduces the kernel to <0.1% relative L2 error.
 
-SPLAT_POLY_DEGREE = 8
-# degree (in t^2) of the polynomial fit to each kernel eigen-profile.
+SPLAT_POLY_DEGREE = 6
+# degree (in t^2) of the polynomial fit to each kernel eigen-profile.  The
+# fit is constrained to be exactly zero at the support edge (t^2 = 4) so the
+# device evaluator needs no support mask — it just clamps t^2 to 4.  The
+# constrained degree-6 fit reproduces the kernel to ~1e-3 of peak (slightly
+# better than the unconstrained degree-8 fit it replaced).
 
 SPLAT_MAX_HALF_SIZE_PX = 3.5
 # pyramid level is chosen so that the smoothing length in level pixels is at

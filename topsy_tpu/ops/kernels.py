@@ -117,9 +117,12 @@ def lowrank_kernel(rank: int = config.SPLAT_KERNEL_RANK,
                    grid: int = 257) -> LowRankKernel:
     """Build the low-rank separable kernel approximation.
 
-    Rank 3 with degree-8 polynomial profiles reproduces the projected kernel
-    to ~1e-3 max relative error, far inside the tolerance of the reference's
-    own 64x64 mip texture discretization.
+    Rank 3 with degree-6 polynomial profiles constrained to vanish exactly at
+    the support edge (``p(KERNEL_SUPPORT^2) = 0``) reproduces the projected
+    kernel to ~1e-3 of its peak, inside the tolerance of the reference's own
+    64x64 mip texture discretization.  The edge constraint means device
+    evaluators can clamp ``t^2`` to the support instead of masking: values
+    outside the support are exactly zero by construction.
     """
     xs = np.linspace(-KERNEL_SUPPORT, KERNEL_SUPPORT, grid)
     r = np.sqrt(xs[:, None] ** 2 + xs[None, :] ** 2)
@@ -133,9 +136,15 @@ def lowrank_kernel(rank: int = config.SPLAT_KERNEL_RANK,
     profiles = V[:, :rank] * np.sqrt(np.abs(w[:rank]))[None, :]
 
     s = xs**2
+    edge = KERNEL_SUPPORT**2
+    # constrained least squares: basis (s^j - edge^j), j = degree..1, spans
+    # exactly the degree-``degree`` polynomials with p(edge) = 0
+    A = np.stack([s**j - edge**j for j in range(degree, 0, -1)], axis=1)
     coeffs = np.empty((rank, degree + 1), dtype=np.float64)
     for k in range(rank):
-        coeffs[k] = np.polyfit(s, profiles[:, k], degree)
+        c, *_ = np.linalg.lstsq(A, profiles[:, k], rcond=None)
+        const = -(c * (edge ** np.arange(degree, 0, -1))).sum()
+        coeffs[k] = np.concatenate([c, [const]])
     return LowRankKernel(signs=signs.astype(np.float32),
                          coeffs=coeffs.astype(np.float32),
                          rank=rank, degree=degree)

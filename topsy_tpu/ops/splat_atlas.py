@@ -148,23 +148,27 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     # window anchor per group: min row band / min column in the group
     w0 = (jnp.floor(ay_g2.min(axis=1) / BAND).astype(jnp.int32) * BAND - 2 * BAND)
     w0 = jnp.clip(w0, 0, atlas_rows - WINDOW_ROWS)
-    c0 = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
-    c0 = jnp.clip(c0, 0, atlas_cols - WINDOW_COLS)
+    c0e = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
 
     if engine == "pallas":
         from . import splat_pallas
-        # align window columns to the lane tile; the wider 384-col window
-        # keeps the same effective group span allowance
-        c0 = jnp.clip((c0 // splat_pallas.COL_ALIGN) * splat_pallas.COL_ALIGN,
+        # the DMA window is lane-aligned; the kernel evaluates profiles over
+        # PROFILE_COLS columns from the exact base c0e and roll-places them,
+        # so the span allowance is measured from c0e, not the aligned start
+        c0 = jnp.clip((c0e // splat_pallas.COL_ALIGN) * splat_pallas.COL_ALIGN,
                       0, atlas_cols - splat_pallas.WINDOW_COLS)
-        window_cols = splat_pallas.WINDOW_COLS
+        c0e = jnp.clip(c0e, c0,
+                       c0 + splat_pallas.WINDOW_COLS - splat_pallas.PROFILE_COLS)
+        span_cols = splat_pallas.PROFILE_COLS
     else:
-        window_cols = WINDOW_COLS
+        c0 = jnp.clip(c0e, 0, atlas_cols - WINDOW_COLS)
+        c0e = c0
+        span_cols = WINDOW_COLS
 
     w0_rep = jnp.repeat(w0, G).astype(jnp.float32)
-    c0_rep = jnp.repeat(c0, G).astype(jnp.float32)
+    c0_rep = jnp.repeat(c0e, G).astype(jnp.float32)
     fits = ((ay_s + FOOT < w0_rep + WINDOW_ROWS)
-            & (ax_s + FOOT < c0_rep + window_cols)
+            & (ax_s + FOOT < c0_rep + span_cols)
             & (ax_s - FOOT >= c0_rep))
     coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
 
@@ -206,14 +210,18 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
     if engine == "pallas":
         from . import splat_pallas
+        from .splat import H_MAX
         interpret = jax.default_backend() != "tpu"
+        flags = splat_pallas.group_flags(
+            inv_h_s.reshape(n_groups, G),
+            coef_fit.reshape(n_groups, G, C), H_MAX)
         atlas_cf = splat_pallas.accumulate_groups_pallas(
             ay_s.reshape(n_groups, 1, G),
             ax_s.reshape(n_groups, 1, G),
             inv_h_s.reshape(n_groups, 1, G),
             coef_fit.reshape(n_groups, G, C).transpose(0, 2, 1),
-            w0, c0, atlas_rows=atlas_rows, atlas_cols=atlas_cols, C=C,
-            group=G, interpret=interpret)
+            w0, c0, c0e, flags, atlas_rows=atlas_rows, atlas_cols=atlas_cols,
+            C=C, group=G, interpret=interpret)
         atlas = atlas_cf.transpose(1, 2, 0)
     else:
         atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
@@ -235,7 +243,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     # capacity scales with the scene so the tier-2 pass stays ~1ms, with the
     # dropped counter flagging any overflow
     spill_cap = min(SPILL_CAP, max(2048, n_pad // 64), n_pad)
-    spill_cap = (spill_cap // (G_SPILL * 4)) * (G_SPILL * 4)
+    spill_quantum = G_SPILL * SUBGROUPS
+    spill_cap = max(spill_quantum,
+                    (spill_cap // spill_quantum) * spill_quantum)
 
     def do_spill(atlas):
         big = jnp.int32(np.iinfo(np.int32).max)
@@ -271,15 +281,20 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
         if engine == "pallas":
             from . import splat_pallas
+            from .splat import H_MAX
             interpret = jax.default_backend() != "tpu"
+            sflags = splat_pallas.group_flags(
+                s_ih.reshape(n_sg, G_SPILL),
+                s_coef_fit.reshape(n_sg, G_SPILL, C), H_MAX)
             atlas_cf = splat_pallas.accumulate_groups_pallas(
                 s_ay.reshape(n_sg, 1, G_SPILL),
                 s_ax.reshape(n_sg, 1, G_SPILL),
                 s_ih.reshape(n_sg, 1, G_SPILL),
                 s_coef_fit.reshape(n_sg, G_SPILL, C).transpose(0, 2, 1),
-                sw0, sc0, atlas_rows=atlas_rows, atlas_cols=atlas_cols,
-                C=C, group=G_SPILL, interpret=interpret,
-                atlas0=atlas.transpose(2, 0, 1), window_cols=atlas_cols)
+                sw0, sc0, sc0, sflags, atlas_rows=atlas_rows,
+                atlas_cols=atlas_cols, C=C, group=G_SPILL,
+                interpret=interpret, atlas0=atlas.transpose(2, 0, 1),
+                window_cols=atlas_cols)
             atlas = atlas_cf.transpose(1, 2, 0)
         else:
             rows_w = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)

@@ -16,6 +16,24 @@ relayouts are needed on the inputs; the deposit is
 
     win[c] += dot((P * coef_c) [R, rank*G], Q [W, rank*G], contract lanes)
 
+Performance structure (measured on v5e; see benchmarks/kernel_ab.py):
+
+* The DMA window is 256 columns, 128-aligned (Mosaic requires lane-aligned
+  dynamic HBM offsets), but the column profiles Q are evaluated over only
+  PROFILE_COLS=128 columns anchored at the group's *exact* column start; the
+  (rows, 128) contribution is placed at the right lane offset inside the
+  window with a dynamic-shift ``pltpu.roll``.  This halves the dominant VPU
+  work without changing the group span allowance.
+* Group classification (inactive / all-tiny / maskless / masked) is
+  precomputed vectorized in XLA and passed as a prefetched scalar flag
+  array, so the kernel does no cross-lane reductions.
+* The kernel profiles are polynomials constrained to vanish at the support
+  edge (ops/kernels.py), so support handling is a clamp of t^2 — no masks.
+  Footprint masks are only needed for coarsest-level splats whose smoothing
+  is clamped above SPLAT_MAX_HALF_SIZE_PX (support wider than the footprint,
+  truncation compensated by the normalization table); groups containing any
+  such splat take the rare FLAG_MASKED path.
+
 Group specializations (driven by the sort key, see splat_atlas.py):
 * all-tiny groups (CIC splats) take a rank-1 hat-only path — no polynomial
   evaluation, a G-wide (not rank*G) contraction;
@@ -36,16 +54,27 @@ from jax.experimental.pallas import tpu as pltpu
 from . import kernels
 
 WINDOW_ROWS = 64
-WINDOW_COLS = 256  # 128-px logical window + 128 for lane alignment of c0
+WINDOW_COLS = 256   # DMA window: 128-px logical span + 128 for lane alignment
+PROFILE_COLS = 128  # columns over which Q profiles are evaluated (then rolled)
 COL_ALIGN = 128
-SUBGROUPS = 4      # particle groups processed per grid step
+SUBGROUPS = 8       # particle groups processed per grid step
+
+# group classification flags (prefetched scalars; computed in splat_atlas)
+FLAG_INACTIVE = 0   # all coefficients zero: skip entirely
+FLAG_ALL_TINY = 1   # every particle is a CIC splat: rank-1 hat path
+FLAG_POLY = 2       # no tiny, no oversize splats: pure clamped polynomials
+FLAG_MIXED = 3      # tiny + polynomial splats, none oversize
+FLAG_MASKED = 4     # contains oversize (footprint-truncated) splats
+
+SUPPORT2 = kernels.KERNEL_SUPPORT ** 2
 
 
 def _profiles_lanes(t2, tiny, lrk, signed: bool):
     """(n, rank*G) profiles (lane-concatenated over rank) with CIC hats.
 
-    t2: (n, G) squared offsets; tiny: (1, G) CIC flags broadcast over rows,
-    or None when the group is known to contain no tiny splats.
+    t2: (n, G) squared offsets, already clamped to the support, so the
+    edge-constrained polynomials are exactly zero outside; tiny: (1, G) CIC
+    flags broadcast over rows, or None when the group has no tiny splats.
     """
     hat = None
     if tiny is not None:
@@ -55,7 +84,6 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
         acc = jnp.full_like(t2, float(lrk.coeffs[k][0]))
         for c in lrk.coeffs[k][1:]:
             acc = acc * t2 + float(c)
-        acc = jnp.where(t2 <= kernels.KERNEL_SUPPORT ** 2, acc, 0.0)
         if signed:
             acc = acc * float(lrk.signs[k])
         if tiny is not None:
@@ -65,26 +93,31 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
 
 
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
-                 window_cols: int):
+                 window_cols: int, profile_cols: int):
+    rolled = profile_cols != window_cols
 
-    def kernel(w0_ref, c0_ref, ay_ref, ax_ref, ih_ref, coef_ref,
-               atlas_in_ref, atlas_out_ref, win_ref, sem_in, sem_out):
+    def kernel(w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref, ih_ref,
+               coef_ref, atlas_in_ref, atlas_out_ref, win_ref, sem_in,
+               sem_out):
         del atlas_in_ref  # aliased with atlas_out_ref
         g = pl.program_id(0)
 
+        def win_slice(idx):
+            return (slice(None),
+                    pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
+                    pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN),
+                          window_cols))
+
         def flush(idx):
-            sl = (slice(None),
-                  pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
-                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), window_cols))
-            out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl], sem_out)
+            out = pltpu.make_async_copy(win_ref,
+                                        atlas_out_ref.at[win_slice(idx)],
+                                        sem_out)
             out.start()
             out.wait()
 
         def load(idx):
-            sl = (slice(None),
-                  pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
-                  pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN), window_cols))
-            dma = pltpu.make_async_copy(atlas_out_ref.at[sl], win_ref, sem_in)
+            dma = pltpu.make_async_copy(atlas_out_ref.at[win_slice(idx)],
+                                        win_ref, sem_in)
             dma.start()
             dma.wait()
 
@@ -105,70 +138,88 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             def _(ig=ig):
                 load(ig)
 
+            fl = fl_ref[ig]
             ay = ay_ref[0, s][None, :]                    # (1, G)
             ax = ax_ref[0, s][None, :]
             ih = ih_ref[0, s][None, :]
             tiny = ih < 0.0
             ih2 = ih * ih
-
-            coef_any = jnp.max(jnp.abs(coef_ref[0, s, 0]))
-            for c in range(1, C):
-                coef_any = jnp.maximum(coef_any,
-                                       jnp.max(jnp.abs(coef_ref[0, s, c])))
-            group_active = coef_any > 0.0
-            all_tiny = jnp.max(ih) < 0.0
-            any_tiny = jnp.min(ih) < 0.0
+            cbase = ce_ref[ig] if rolled else c0
+            o = cbase - c0
 
             rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
                                             ).astype(jnp.float32)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (window_cols, group), 0
+            cols = jax.lax.broadcasted_iota(jnp.int32, (profile_cols, group), 0
                                             ).astype(jnp.float32)
             dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
-            dx = c0.astype(jnp.float32) + cols - ax       # (W, G)
+            dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
+
+            def accum(contribs):
+                for c in range(C):
+                    con = contribs[c]
+                    if rolled:
+                        con = jnp.concatenate(
+                            [con, jnp.zeros((WINDOW_ROWS,
+                                             window_cols - profile_cols),
+                                            jnp.float32)], axis=1)
+                        con = pltpu.roll(con, o, 1)
+                    win_ref[c, :, :] += con
 
             # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is
             # far below the reference's own texture discretization error
 
-            @pl.when(group_active & all_tiny)
+            @pl.when(fl == FLAG_ALL_TINY)
             def _(s=s, dy=dy, dx=dx):
                 # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
                 Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
                 Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
+                out = []
                 for c in range(C):
                     PC = (Ph * coef_ref[0, s, c][None, :]).astype(jnp.bfloat16)
-                    contrib = jax.lax.dot_general(
+                    out.append(jax.lax.dot_general(
                         PC, Qh, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    win_ref[c, :, :] += contrib
+                        preferred_element_type=jnp.float32))
+                accum(out)
 
-            def poly_body(s, dy, dx, tiny, ih2):
-                ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
-                xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
-                ty2 = dy * dy * ih2
-                tx2 = dx * dx * ih2
+            def poly_body(s, dy, dx, tiny, ih2, masked):
+                ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
+                tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
                 rank = lrk.rank
-                P = _profiles_lanes(ty2, tiny, lrk, signed=True) \
-                    * jnp.tile(ymask, (1, rank))          # (R, rank*G)
-                Q = (_profiles_lanes(tx2, tiny, lrk, signed=False)
-                     * jnp.tile(xmask, (1, rank))).astype(jnp.bfloat16)
+                P = _profiles_lanes(ty2, tiny, lrk, signed=True)
+                Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
+                if masked:
+                    # oversize splats (support beyond the footprint window):
+                    # truncate at the footprint, compensated by the
+                    # normalization table (reference: sph.py:84-85 clamps the
+                    # other direction; the coarse-level truncation is ours)
+                    ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+                    xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+                    P = P * jnp.tile(ymask, (1, rank))
+                    Q = Q * jnp.tile(xmask, (1, rank))
+                Q = Q.astype(jnp.bfloat16)
+                out = []
                 for c in range(C):
                     coef_c = jnp.tile(coef_ref[0, s, c][None, :], (1, rank))
                     PC = (P * coef_c).astype(jnp.bfloat16)
-                    contrib = jax.lax.dot_general(
+                    out.append(jax.lax.dot_general(
                         PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32)
-                    win_ref[c, :, :] += contrib
+                        preferred_element_type=jnp.float32))
+                accum(out)
 
             # pure-polynomial groups (the common case away from dense
             # fields; tiny segregation makes mixed groups rare band
             # boundaries) skip the CIC hat/select work entirely
-            @pl.when(group_active & jnp.logical_not(any_tiny))
+            @pl.when(fl == FLAG_POLY)
             def _(s=s, dy=dy, dx=dx, ih2=ih2):
-                poly_body(s, dy, dx, None, ih2)
+                poly_body(s, dy, dx, None, ih2, masked=False)
 
-            @pl.when(group_active & any_tiny & jnp.logical_not(all_tiny))
+            @pl.when(fl == FLAG_MIXED)
             def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
-                poly_body(s, dy, dx, tiny, ih2)
+                poly_body(s, dy, dx, tiny, ih2, masked=False)
+
+            @pl.when(fl == FLAG_MASKED)
+            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
+                poly_body(s, dy, dx, tiny, ih2, masked=True)
 
             if s == SUBGROUPS - 1:
                 @pl.when(g == n_steps - 1)
@@ -186,7 +237,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "C", "group",
                                     "interpret", "window_cols"))
-def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
+def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
                              atlas_rows: int, atlas_cols: int, C: int,
                              group: int, interpret: bool = False,
                              atlas0=None, window_cols: int = WINDOW_COLS):
@@ -194,17 +245,24 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
     w0: (n_groups,) int32 row starts (8-aligned); c0: (n_groups,) int32 col
-    starts (128-aligned).  n_groups must be a multiple of SUBGROUPS.
-    Accumulates on top of ``atlas0`` (zeros if None); returns the atlas
-    (C, atlas_rows, atlas_cols).
+    starts (COL_ALIGN-aligned); ce: (n_groups,) int32 exact column bases with
+    ``c0 <= ce <= c0 + window_cols - PROFILE_COLS`` (profiles are evaluated
+    over [ce, ce + PROFILE_COLS)); flags: (n_groups,) int32 FLAG_* group
+    classes.  n_groups must be a multiple of SUBGROUPS.  When
+    ``window_cols`` differs from the default, profiles span the whole window
+    (no roll) and ``ce`` must equal ``c0`` (the spill pass uses this with
+    full-width windows).  Accumulates on top of ``atlas0`` (zeros if None);
+    returns the atlas (C, atlas_rows, atlas_cols).
     """
     n_groups = w0.shape[0]
     assert n_groups % SUBGROUPS == 0, n_groups
     n_steps = n_groups // SUBGROUPS
     lrk = kernels.lowrank_kernel()
     from .splat_atlas import FOOT
+    profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
 
-    kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols)
+    kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
+                          profile_cols)
 
     # blocks carry SUBGROUPS groups per step
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
@@ -213,17 +271,20 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
     coef_b = coef_g.reshape(n_steps, SUBGROUPS, C, group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=4,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, w0r, c0r: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group),
+                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group),
+                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
+            pl.BlockSpec((1, SUBGROUPS, group),
+                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
             pl.BlockSpec((1, SUBGROUPS, C, group),
-                         lambda g, w0r, c0r: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+                         lambda g, w0r, c0r, cer, flr: (g, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((C, WINDOW_ROWS, window_cols), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
@@ -237,7 +298,30 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, atlas_rows, atlas_cols), jnp.float32),
-        input_output_aliases={6: 0},  # atlas input (after 2 scalar + 4 tensor)
+        input_output_aliases={8: 0},  # atlas input (after 4 scalar + 4 tensor)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(w0, c0, ay_b, ax_b, ih_b, coef_b, atlas0)
+    )(w0, c0, ce, flags, ay_b, ax_b, ih_b, coef_b, atlas0)
+
+
+def group_flags(ih_groups: jnp.ndarray, coef_groups: jnp.ndarray,
+                h_max: float) -> jnp.ndarray:
+    """Classify groups for the kernel's specialized paths, vectorized.
+
+    ih_groups: (n_groups, G) signed inverse smoothing (negative = tiny CIC);
+    coef_groups: (n_groups, G, C) fit-masked deposit coefficients;
+    h_max: level-pixel smoothing above which footprints are truncated
+    (config.SPLAT_MAX_HALF_SIZE_PX) — only clamped coarsest-level splats
+    exceed it.
+    """
+    active = jnp.abs(coef_groups).sum(axis=(1, 2)) > 0.0
+    all_tiny = ih_groups.max(axis=1) < 0.0
+    any_tiny = ih_groups.min(axis=1) < 0.0
+    big_th = (1.0 / h_max) * (1.0 - 1e-6)
+    any_big = ((ih_groups > 0.0) & (ih_groups < big_th)).any(axis=1)
+    return jnp.where(
+        ~active, FLAG_INACTIVE,
+        jnp.where(all_tiny, FLAG_ALL_TINY,
+                  jnp.where(any_big, FLAG_MASKED,
+                            jnp.where(any_tiny, FLAG_MIXED,
+                                      FLAG_POLY)))).astype(jnp.int32)

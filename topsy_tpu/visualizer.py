@@ -392,7 +392,8 @@ class VisualizerBase:
 
     def get_sph_image(self) -> np.ndarray:
         """Logical SPH content (post-processed, no colormap)."""
-        return self._colormap.sph_raw_output_to_content(self._sph.get_image())
+        return self._colormap.sph_raw_output_to_content(
+            np.asarray(self._sph.get_image()))
 
     def get_sph_presentation_image(self) -> np.ndarray:
         """Colormapped SPH image, no overlays."""
