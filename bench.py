@@ -22,34 +22,40 @@ def main():
 
     from topsy_tpu import camera
     from topsy_tpu.loaders import TestDataLoader
-    from topsy_tpu.ops import splat_atlas
+    from topsy_tpu.ops import morton, splat_atlas
 
     resolution = 1024
     scale = 200.0
     n = 1 << 22
 
     loader = TestDataLoader(n, seed=1337)
-    pos_smooth = jnp.asarray(loader.get_pos_smooth())
+    ps_np = loader.get_pos_smooth().astype(np.float32)
     mass = loader.get_mass()
     qty = loader.get_named_quantity("test-quantity")
-    values = jnp.asarray(np.stack([mass, mass * qty], axis=1))
+    values_np = np.stack([mass, mass * qty], axis=1).astype(np.float32)
+    # the flagship export path: static (bucket, Morton) order, no per-frame
+    # sort (ops/morton.py); built once per snapshot
+    layout = morton.build_presorted(ps_np)
+    pos_smooth = jnp.asarray(layout.apply(ps_np, fill=morton.PAD_POS))
+    values = jnp.asarray(layout.apply(values_np))
+    buckets = jnp.asarray(layout.buckets)
     matrix = jnp.asarray(
         camera.world_to_clip_matrix(np.eye(3), np.zeros(3), scale), jnp.float32)
 
-    fn = jax.jit(lambda ps, vals, m: splat_atlas.splat_atlas(
-        ps, vals, m, resolution, scale)[0])
+    fn = jax.jit(lambda ps, vals, m, b: splat_atlas.splat_atlas(
+        ps, vals, m, resolution, scale, presorted_buckets=b)[0])
 
     # warm up / compile
-    im = fn(pos_smooth, values, matrix)
+    im = fn(pos_smooth, values, matrix, buckets)
     jax.block_until_ready(im)
     float(np.asarray(im[0, 0, 0]))
 
-    reps = 5
+    reps = 10
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(reps):
-            im = fn(pos_smooth, values, matrix)
+            im = fn(pos_smooth, values, matrix, buckets)
         # force full execution incl. readback sync
         float(np.asarray(im.sum()))
         dt = (time.perf_counter() - t0) / reps

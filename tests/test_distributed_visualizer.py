@@ -14,7 +14,13 @@ RES = 64
 
 
 @pytest.fixture
-def pair():
+def pair(monkeypatch):
+    # compare like-for-like: the distributed splatter assigns levels per
+    # splat, so the single-chip side must not take the presorted export path
+    # (bucket-derived levels differ by one near bucket edges); presorted-vs-
+    # sorted equivalence is covered in test_presorted.py
+    from topsy_tpu import config
+    monkeypatch.setattr(config, "EXPORT_USE_PRESORTED", False)
     v1 = topsy_tpu.test(8000, render_resolution=RES, canvas_class=OffscreenCanvas,
                         with_cells=True)
     v8 = topsy_tpu.test(8000, render_resolution=RES, canvas_class=OffscreenCanvas,

@@ -85,9 +85,15 @@ SPLAT_ATLAS_PAD = 64
 SPLAT_ATLAS_COL_PAD = 16
 # padding cols on either side of the atlas (edge-clipping margin).
 
-SPLAT_SPILL_CAP = 8192
-# capacity of the dense-fallback pass for particles that do not fit their
-# chunk's row window (sparsely populated bands).
+SPLAT_SPILL_GROUP_CAP = 128
+# capacity (in main-pass groups) of the dense-fallback pass for particles
+# that do not fit their group's accumulation window (sparsely populated
+# regions).  Spills are compacted group-granularly (top-k over per-group
+# spill counts + row gather) so the fallback never pays a full-length sort.
+
+EXPORT_USE_PRESORTED = True
+# EXPORT renders use the static (smoothing-bucket, Morton) particle order
+# (ops/morton.py), skipping the per-frame sort entirely.
 
 AUTORANGE_PERCENTILES = (1.0, 99.9)
 

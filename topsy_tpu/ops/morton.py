@@ -1,0 +1,116 @@
+"""Static (smoothing-bucket, Morton) particle ordering for sort-free splats.
+
+The atlas splatter needs particle groups whose projected (row band, column)
+span fits a bounded accumulation window.  The interactive path gets this
+from a per-frame ``lax.sort`` — the dominant cost of large renders (~9 ms
+per million particles on v5e).  For full renders (EXPORT and the headline
+benchmark) the sort can be eliminated entirely with a *static*, camera-
+independent order computed once per snapshot:
+
+* primary key: smoothing length quantized to 1/8-octave buckets.  Pyramid
+  levels are then derived *from the bucket* (upper-edge representative)
+  instead of the exact smoothing, so a bucket run always maps to a single
+  level — groups never straddle atlas level regions — while preserving
+  ``h_eff <= SPLAT_MAX_HALF_SIZE_PX`` exactly (the representative is an
+  upper bound);
+* secondary key: 3-D Morton code.  Any run of consecutive particles is then
+  spatially local, and orthographic projection (the reference's camera
+  model, reference: src/topsy/sph.py:268-299) preserves that locality under
+  arbitrary rotation: measured fit rates on the GMM test snapshot are
+  99.4-99.99% for 512-particle groups, the remainder handled exactly by the
+  spill tiers;
+* bucket runs are padded to the group size so no group straddles two levels.
+
+The order is host-side numpy, computed lazily once per snapshot and cached
+by the particle store.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+DELTA_OCTAVE = 0.125  # smoothing-bucket width in octaves (see levels_from_buckets)
+PAD_POS = 1.0e30      # padding sentinel: projects far outside any viewport
+MORTON_BITS = 16      # per-axis quantization of positions
+
+
+def morton_codes(pos: np.ndarray) -> np.ndarray:
+    """Interleaved 3x16-bit Morton codes over the positions' bounding box."""
+    pos = np.asarray(pos, dtype=np.float64)
+    lo = pos.min(axis=0)
+    span = pos.max(axis=0) - lo + 1e-300
+    q = ((pos - lo) / span * ((1 << MORTON_BITS) - 1)).astype(np.uint64)
+
+    def spread(x):
+        x = x & np.uint64(0xFFFF)
+        x = (x | (x << np.uint64(16))) & np.uint64(0x0000FFFF0000FFFF)
+        x = (x | (x << np.uint64(8))) & np.uint64(0x00FF00FF00FF00FF)
+        x = (x | (x << np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+        x = (x | (x << np.uint64(2))) & np.uint64(0x3333333333333333)
+        x = (x | (x << np.uint64(1))) & np.uint64(0x5555555555555555)
+        return x
+
+    return (spread(q[:, 0]) | (spread(q[:, 1]) << np.uint64(1))
+            | (spread(q[:, 2]) << np.uint64(2)))
+
+
+def smoothing_buckets(h: np.ndarray) -> np.ndarray:
+    """Absolute 1/8-octave bucket index of each smoothing length."""
+    return np.floor(np.log2(np.maximum(np.asarray(h, dtype=np.float64),
+                                       1e-300)) / DELTA_OCTAVE).astype(np.int32)
+
+
+@dataclass(frozen=True)
+class PresortedLayout:
+    """The static order plus run padding.
+
+    ``order[i]`` is the source index of the i-th sorted particle and
+    ``dst[i]`` its destination slot in the padded output of length
+    ``n_out``; slots not covered by ``dst`` are padding.  ``buckets`` gives
+    the (absolute) smoothing bucket of every output slot, padding included
+    (a padding slot carries its run's bucket so its derived level stays in
+    the run's atlas region).
+    """
+
+    order: np.ndarray    # (n,) int64
+    dst: np.ndarray      # (n,) int64
+    n_out: int
+    buckets: np.ndarray  # (n_out,) int32
+
+    def apply(self, arr: np.ndarray, fill: float = 0.0) -> np.ndarray:
+        out = np.full((self.n_out,) + arr.shape[1:], fill, dtype=arr.dtype)
+        out[self.dst] = arr[self.order]
+        return out
+
+
+def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
+                    pad_total: int = 4096) -> PresortedLayout:
+    """Compute the (bucket, Morton) order with runs padded to ``pad_group``
+    and the total padded to a ``pad_total`` multiple."""
+    pos_smooth = np.asarray(pos_smooth)
+    buckets = smoothing_buckets(pos_smooth[:, 3])
+    codes = morton_codes(pos_smooth[:, :3])
+    order = np.lexsort((codes, buckets))
+    b_sorted = buckets[order]
+
+    # run boundaries of equal buckets in the sorted stream
+    change = np.flatnonzero(np.diff(b_sorted)) + 1
+    starts = np.concatenate([[0], change])
+    ends = np.concatenate([change, [len(b_sorted)]])
+    lens = ends - starts
+    padded = ((lens + pad_group - 1) // pad_group) * pad_group
+    out_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
+    n_out = int(padded.sum())
+    n_out = ((n_out + pad_total - 1) // pad_total) * pad_total
+
+    dst = np.empty(len(order), dtype=np.int64)
+    tail_bucket = int(b_sorted[-1]) if len(b_sorted) else 0
+    buckets_out = np.full(n_out, tail_bucket, dtype=np.int32)
+    for s, e, os_, p, b in zip(starts, ends, out_starts, padded,
+                               b_sorted[starts]):
+        dst[s:e] = os_ + np.arange(e - s)
+        buckets_out[os_:os_ + p] = b
+    return PresortedLayout(order=order, dst=dst, n_out=n_out,
+                           buckets=buckets_out)

@@ -106,7 +106,7 @@ def project(pos_smooth: jnp.ndarray, matrix: jnp.ndarray, resolution: int,
     return cx, cy, z01, h_px, visible
 
 
-def assign_levels(h_px: jnp.ndarray, num_levels: int):
+def assign_levels(h_px: jnp.ndarray, num_levels: int, lev=None):
     """Pyramid level per splat and the effective smoothing in level pixels.
 
     Splats smaller than H_MIN level-pixels are flagged ``tiny``: they deposit
@@ -114,13 +114,33 @@ def assign_levels(h_px: jnp.ndarray, num_levels: int):
     phase) with h_eff fixed to 1, instead of a phase-averaged normalized
     kernel, which would alias for sub-pixel splats whose positions correlate
     with the pixel grid.
+
+    ``lev`` overrides the per-splat level choice (the presorted path derives
+    it from static smoothing buckets, see levels_from_buckets); the exact
+    smoothing is still used for h_eff, so the deposit itself is unchanged.
     """
-    lev = jnp.ceil(jnp.log2(jnp.maximum(h_px, 1e-30) / H_MAX))
-    lev = jnp.clip(lev, 0, num_levels - 1).astype(jnp.int32)
+    if lev is None:
+        lev = jnp.ceil(jnp.log2(jnp.maximum(h_px, 1e-30) / H_MAX))
+        lev = jnp.clip(lev, 0, num_levels - 1).astype(jnp.int32)
     h_l = h_px * jnp.exp2(-lev.astype(jnp.float32))
     tiny = h_l < H_MIN
     h_eff = jnp.where(tiny, 1.0, jnp.clip(h_l, H_MIN, H_TRUNC))
     return lev, h_eff, tiny
+
+
+def levels_from_buckets(buckets: jnp.ndarray, px_per_world, num_levels: int):
+    """Pyramid levels derived from static 1/8-octave smoothing buckets.
+
+    Uses each bucket's *upper edge* as the representative smoothing so the
+    derived level never undershoots: ``h_eff = h_px * 2^-lev <= H_MAX``
+    holds exactly, as with per-splat levels.  Because the level is a
+    function of the bucket alone, a presorted bucket run maps to a single
+    atlas level region (ops/morton.py).
+    """
+    from .morton import DELTA_OCTAVE
+    s = jnp.log2(px_per_world / H_MAX)
+    lev = jnp.ceil((buckets.astype(jnp.float32) + 1.0) * DELTA_OCTAVE + s)
+    return jnp.clip(lev, 0, num_levels - 1).astype(jnp.int32)
 
 
 @functools.lru_cache(maxsize=None)
@@ -152,7 +172,7 @@ def norm_factor(h_eff: jnp.ndarray, mode: str) -> jnp.ndarray:
 
 def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
                        pyramid: PyramidSpec, extra_mask=None, mode="exact",
-                       depth_channel=False):
+                       depth_channel=False, level_override=None):
     """Shared front-end: projection, level assignment, deposit coefficients.
 
     Returns a dict of per-particle arrays: level, centre in level px
@@ -160,12 +180,14 @@ def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
     coefficients coef (N, C) such that the deposit at a level pixel is
     coef * K(d / h_eff).  With ``depth_channel``, an extra channel
     values[:, 0] * clip_z is appended (the reference's vertex_depth path,
-    reference: shaders/sph.wgsl:86-91).
+    reference: shaders/sph.wgsl:86-91).  ``level_override`` substitutes
+    precomputed per-splat levels (see levels_from_buckets).
     """
     cx, cy, z01, h_px, visible = project(pos_smooth, matrix, resolution, scale)
     if depth_channel:
         values = jnp.concatenate([values, values[:, :1] * z01[:, None]], axis=1)
-    lev, h_eff, tiny = assign_levels(h_px, pyramid.num_levels)
+    lev, h_eff, tiny = assign_levels(h_px, pyramid.num_levels,
+                                     lev=level_override)
     lev_scale = jnp.exp2(lev.astype(jnp.float32))
 
     # centre coordinates in level pixels (pixel centres at integers)

@@ -44,7 +44,6 @@ WINDOW_COLS = 256           # cols of the dynamic accumulation window
 BAND = config.SPLAT_BAND_ROWS
 COL_PAD = config.SPLAT_ATLAS_COL_PAD
 ROW_PAD = config.SPLAT_ATLAS_PAD
-SPILL_CAP = config.SPLAT_SPILL_CAP
 FOOT = 8.0                  # footprint half-width in level pixels
 
 
@@ -64,11 +63,16 @@ def atlas_layout(pyramid: PyramidSpec):
 
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
-                depth_channel=False, engine: str | None = None):
+                depth_channel=False, engine: str | None = None,
+                presorted_buckets=None):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
     ``engine``: 'pallas' (fused TPU kernel), 'scan' (pure-XLA fallback), or
     None for automatic selection (pallas on TPU).
+    ``presorted_buckets``: per-particle static smoothing buckets signalling
+    that the arrays are already in (bucket, Morton) order with padded runs
+    (ops/morton.py) — the per-frame sort is skipped entirely and levels are
+    derived from the buckets.
     Returns (image (res, res, C), spilled_dropped count).
     """
     if engine is None:
@@ -77,9 +81,16 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     if pyramid is None:
         pyramid = default_pyramid(resolution)
     lrk = kernels.lowrank_kernel()
+    level_override = None
+    if presorted_buckets is not None:
+        from .splat import levels_from_buckets
+        px_per_world = resolution / (2.0 * scale)
+        level_override = levels_from_buckets(presorted_buckets, px_per_world,
+                                             pyramid.num_levels)
     parts = splat_coefficients(pos_smooth, values, matrix, resolution, scale,
                                pyramid, extra_mask, mode="lowrank",
-                               depth_channel=depth_channel)
+                               depth_channel=depth_channel,
+                               level_override=level_override)
     C = values.shape[1] + (1 if depth_channel else 0)
     n = pos_smooth.shape[0]
     from .splat_pallas import SUBGROUPS
@@ -113,34 +124,50 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     inv_h = jnp.where(parts["tiny"], -1.0, 1.0 / parts["h_eff"])
     coef = parts["coef"]
 
-    # sort key: (row band, tiny class, column). Segregating tiny (CIC)
-    # splats within each band lets the Pallas kernel take a rank-1 hat-only
-    # fast path for all-tiny groups; masked/invisible particles take the
-    # sentinel key so whole groups of them can be skipped.
-    band = jnp.floor(ay / BAND).astype(jnp.int32)
-    xkey = jnp.clip(jnp.floor(ax).astype(jnp.int32), 0, 2047)
-    key = band * 4096 + jnp.where(parts["tiny"], 0, 2048) + xkey
-
     sentinel_ay = float(atlas_rows - ROW_PAD + FOOT + 2.0)
-    sentinel_key = (int(sentinel_ay // BAND) + 2) * 4096
-    active = jnp.abs(coef).sum(axis=1) > 0.0
-    key = jnp.where(active, key, sentinel_key)
-    ay = jnp.where(active, ay, sentinel_ay)
-    ax = jnp.where(active, ax, float(COL_PAD))
 
     def pad_to(x, fill):
         return jnp.concatenate([x, jnp.full((n_pad - n,) + x.shape[1:], fill, x.dtype)])
 
-    key = pad_to(key, sentinel_key)
-    ay = pad_to(ay, sentinel_ay)
-    ax = pad_to(ax, float(COL_PAD))
-    inv_h = pad_to(inv_h, 1.0)
-    coef = pad_to(coef, 0.0)
+    if presorted_buckets is not None:
+        # arrays are already (bucket, Morton)-ordered with padded runs:
+        # consecutive particles are spatially local and single-level, so the
+        # per-frame sort is skipped.  Inactive particles keep their (clamped)
+        # projected positions — they are spatially consistent with their
+        # neighbours and carry zero coefficients.  NaN projections (always
+        # inactive: non-finite inputs are masked) must not poison group-min
+        # window anchors.
+        ay = jnp.where(jnp.isnan(ay), sentinel_ay, ay)
+        ax = jnp.where(jnp.isnan(ax), float(COL_PAD), ax)
+        ay_s = pad_to(ay, sentinel_ay)
+        ax_s = pad_to(ax, float(COL_PAD))
+        inv_h_s = pad_to(inv_h, 1.0)
+        coef_s = pad_to(coef, 0.0)
+    else:
+        # sort key: (row band, tiny class, column). Segregating tiny (CIC)
+        # splats within each band lets the Pallas kernel take a rank-1
+        # hat-only fast path for all-tiny groups; masked/invisible particles
+        # take the sentinel key so whole groups of them can be skipped.
+        band = jnp.floor(ay / BAND).astype(jnp.int32)
+        xkey = jnp.clip(jnp.floor(ax).astype(jnp.int32), 0, 2047)
+        key = band * 4096 + jnp.where(parts["tiny"], 0, 2048) + xkey
 
-    operands = (key, ay, ax, inv_h) + tuple(coef[:, c] for c in range(C))
-    sorted_ops = jax.lax.sort(operands, num_keys=1)
-    _, ay_s, ax_s, inv_h_s = sorted_ops[:4]
-    coef_s = jnp.stack(sorted_ops[4:], axis=-1)
+        sentinel_key = (int(sentinel_ay // BAND) + 2) * 4096
+        active = jnp.abs(coef).sum(axis=1) > 0.0
+        key = jnp.where(active, key, sentinel_key)
+        ay = jnp.where(active, ay, sentinel_ay)
+        ax = jnp.where(active, ax, float(COL_PAD))
+
+        key = pad_to(key, sentinel_key)
+        ay = pad_to(ay, sentinel_ay)
+        ax = pad_to(ax, float(COL_PAD))
+        inv_h = pad_to(inv_h, 1.0)
+        coef = pad_to(coef, 0.0)
+
+        operands = (key, ay, ax, inv_h) + tuple(coef[:, c] for c in range(C))
+        sorted_ops = jax.lax.sort(operands, num_keys=1)
+        _, ay_s, ax_s, inv_h_s = sorted_ops[:4]
+        coef_s = jnp.stack(sorted_ops[4:], axis=-1)
 
     n_groups = n_pad // G
     ay_g2 = ay_s.reshape(n_groups, G)
@@ -232,34 +259,34 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         atlas, _ = jax.lax.scan(body, atlas0, per_group)
 
     # ---- spill pass: particles too sparse for their group window ----------
-    # re-run the same windowed machinery with much smaller groups (G=64) on
-    # the spilled subset, re-sorted by (band, column); groups that small fit
-    # their windows except in pathologically empty regions, whose few
-    # stragglers are dropped with an explicit count.
+    # re-run the same windowed machinery with much smaller groups on the
+    # spilled subset.  Compaction is GROUP-granular: top-k over per-group
+    # spill counts (n_groups keys) + a contiguous row gather — never a
+    # full-length particle sort, which would cost as much as the main sort.
+    # Groups that small fit their windows except in pathologically empty
+    # regions, whose few stragglers are dropped with an explicit count.
     spilled = ~fits & (jnp.abs(coef_s).sum(axis=1) > 0.0)
-    n_spill = spilled.sum()
+    per_group_spill = spilled.reshape(n_groups, G).sum(axis=1)
+    n_spill = per_group_spill.sum()
     G_SPILL = max(16, G // 8)
-    # observed spill rates are ~0.1-0.3% (row misfits in sparse bands); the
-    # capacity scales with the scene so the tier-2 pass stays ~1ms, with the
-    # dropped counter flagging any overflow
-    spill_cap = min(SPILL_CAP, max(2048, n_pad // 64), n_pad)
-    spill_quantum = G_SPILL * SUBGROUPS
-    spill_cap = max(spill_quantum,
-                    (spill_cap // spill_quantum) * spill_quantum)
+    k_groups = min(n_groups, config.SPLAT_SPILL_GROUP_CAP)
+    # tier-2 pallas group count must stay a SUBGROUPS multiple
+    k_groups = max(1, (k_groups * (G // G_SPILL)) // SUBGROUPS) \
+        * SUBGROUPS * G_SPILL // G
+    spill_cap = k_groups * G
 
     def do_spill(atlas):
-        big = jnp.int32(np.iinfo(np.int32).max)
-        band2 = jnp.floor(ay_s / BAND).astype(jnp.int32)
-        x2 = jnp.clip(jnp.floor(ax_s).astype(jnp.int32), 0, 2047)
-        skey = jnp.where(spilled, band2 * 4096 + x2, big)
-        ops = jax.lax.sort((skey, ay_s, ax_s, inv_h_s)
-                           + tuple(coef_s[:, c] for c in range(C)), num_keys=1)
-        valid = ops[0][:spill_cap] < big
-        s_ay = ops[1][:spill_cap]
-        s_ax = ops[2][:spill_cap]
-        s_ih = ops[3][:spill_cap]
-        s_coef = jnp.stack([o[:spill_cap] for o in ops[4:]], axis=-1)
-        s_coef = jnp.where(valid[:, None], s_coef, 0.0)
+        _, top_idx = jax.lax.top_k(per_group_spill, k_groups)
+
+        def gather(arr):
+            return jnp.take(arr.reshape(n_groups, G, -1), top_idx,
+                            axis=0).reshape(spill_cap, -1)
+
+        valid = gather(spilled)[:, 0]
+        s_ay = gather(ay_s)[:, 0]
+        s_ax = gather(ax_s)[:, 0]
+        s_ih = gather(inv_h_s)[:, 0]
+        s_coef = jnp.where(valid[:, None], gather(coef_s), 0.0)
 
         n_sg = spill_cap // G_SPILL
         ay2 = s_ay.reshape(n_sg, G_SPILL)
@@ -357,11 +384,11 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             return atlas
 
         atlas = jax.lax.cond(n3 > 0, do_t3, lambda a: a, atlas)
-        return atlas, jnp.maximum(n3 - T3, 0)
+        not_gathered = n_spill - valid.sum()
+        return atlas, not_gathered + jnp.maximum(n3 - T3, 0)
 
-    atlas, t3_dropped = jax.lax.cond(n_spill > 0, do_spill,
-                                     lambda a: (a, jnp.int32(0)), atlas)
-    dropped = jnp.maximum(n_spill - spill_cap, 0) + t3_dropped
+    atlas, dropped = jax.lax.cond(n_spill > 0, do_spill,
+                                  lambda a: (a, jnp.int32(0)), atlas)
 
     return collapse_atlas(atlas, pyramid), dropped
 

@@ -97,6 +97,15 @@ class RenderProgression:
     def needs_refine(self) -> bool:
         return self._start_index < self._total
 
+    def mark_all_rendered(self, time_elapsed_in_frame: float):
+        """Record that a renderer covered everything with its own
+        full-coverage pass (the presorted EXPORT path) so the scale factor is
+        1, no refinement is requested, and the LOD feedback sees the real
+        throughput."""
+        self._rendered_in_frame += self._total - self._start_index
+        self._start_index = self._total
+        self._time_in_frame = time_elapsed_in_frame
+
     # -- internals -------------------------------------------------------------
 
     def _block_for_logical_range(self, start: int, length: int):

@@ -30,6 +30,11 @@ class DistributedSPHRenderer(SPHRenderer):
         self._splatter = None
         self._splatter_version = None
 
+    def _use_presorted(self) -> bool:
+        # the sharded splatter owns its own layout; the single-device
+        # presorted copies do not apply here
+        return False
+
     def _get_splatter(self) -> DistributedSplatter:
         version = (self._buffer_name, self._store.values_version)
         if self._splatter is None or self._splatter_version != version:

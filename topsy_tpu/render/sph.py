@@ -67,6 +67,28 @@ def _render_block(pos_smooth, values, cell_ids, cell_table, matrix, scale,
     return im, dropped
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "bucket", "depth_channel"))
+def _render_block_presorted(pos_smooth, values, buckets, cell_ids, cell_table,
+                            matrix, scale, start, count, *, resolution,
+                            bucket, depth_channel):
+    """Render one piece of the presorted arrays — no per-frame sort
+    (ops/morton.py): the stored (smoothing-bucket, Morton) order is already
+    group-local and single-level per run."""
+    n_pad = pos_smooth.shape[0]
+    sl = jnp.clip(start, 0, n_pad - bucket)
+    ps = jax.lax.dynamic_slice(pos_smooth, (sl, 0), (bucket, 4))
+    vals = jax.lax.dynamic_slice(values, (sl, 0), (bucket, values.shape[1]))
+    bks = jax.lax.dynamic_slice(buckets, (sl,), (bucket,))
+    ids = jax.lax.dynamic_slice(cell_ids, (sl,), (bucket,))
+    idx = sl + jnp.arange(bucket, dtype=jnp.int32)
+    mask = (idx >= start) & (idx < start + count) & cell_table[ids]
+    return splat_atlas.splat_atlas(ps, vals, matrix, resolution, scale,
+                                   extra_mask=mask,
+                                   depth_channel=depth_channel,
+                                   presorted_buckets=bks)
+
+
 def default_backend() -> str:
     return "atlas"
 
@@ -184,6 +206,14 @@ class SPHRenderer:
         # asynchronously and sync once at the end
         sync_blocks = draw_reason != DrawReason.EXPORT
 
+        if draw_reason == DrawReason.EXPORT and self._use_presorted():
+            # sort-free full coverage over the static (bucket, Morton) order;
+            # geometric culling still applies through the cell-mask table
+            self._render_presorted(matrix, scale, first_block)
+            prog.mark_all_rendered(self._render_timer.total_time_in_frame())
+            self._finish_frame(prog)
+            return
+
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
             for s, l in zip(starts, lens):
@@ -210,12 +240,44 @@ class SPHRenderer:
             with self._render_timer:
                 jax.block_until_ready(self._image)
 
+        self._finish_frame(prog)
+
+    def _finish_frame(self, prog):
         self._render_timer.end_frame()
         self.last_render_mass_scale = prog.end_frame_get_scalefactor()
         mean = self._render_timer.running_mean_duration
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
         self.has_rendered = True
         self._postprocess_frame()
+
+    # -- presorted (sort-free) export path --------------------------------------
+
+    def _use_presorted(self) -> bool:
+        return self._backend == "atlas" and config.EXPORT_USE_PRESORTED
+
+    def _render_presorted(self, matrix, scale, first_block: bool):
+        store = self._store
+        store.ensure_presorted()
+        total = store.n_presorted
+        bucket = bucket_size(total, total)
+        for piece in range(0, total, bucket):
+            with self._render_timer:
+                im, dropped = _render_block_presorted(
+                    store.pos_smooth_presorted,
+                    store.presorted_values_for(self._buffer_name),
+                    store.presorted_buckets, store.cell_ids_presorted,
+                    self._cell_table, matrix, scale,
+                    jnp.int32(piece), jnp.int32(min(bucket, total - piece)),
+                    resolution=self._resolution, bucket=bucket,
+                    depth_channel=self._depth_channel)
+                self._dropped_splats = dropped
+                if first_block:
+                    self._image = im
+                    first_block = False
+                else:
+                    self._image = self._image + im
+        with self._render_timer:
+            jax.block_until_ready(self._image)
 
     def _launch_block(self, matrix, scale, start: int, count: int,
                       bucket: int):

@@ -113,6 +113,39 @@ class ParticleStore:
             return self.rgb
         raise KeyError(buffer_name)
 
+    # -- presorted (bucket, Morton) copies for sort-free full renders ----------
+
+    def ensure_presorted(self):
+        """Lazily build the static (smoothing-bucket, Morton) ordering used
+        by sort-free EXPORT renders (ops/morton.py).  One host-side lexsort
+        per snapshot, cached."""
+        if getattr(self, "_presorted_layout", None) is not None:
+            return
+        from ..ops import morton
+        layout = morton.build_presorted(self._loader.get_pos_smooth())
+        self._presorted_layout = layout
+        self.n_presorted = layout.n_out
+        self.pos_smooth_presorted = self._put(
+            layout.apply(self._loader.get_pos_smooth().astype(np.float32),
+                         fill=morton.PAD_POS))
+        self.presorted_buckets = self._put(layout.buckets)
+        self.cell_ids_presorted = self._put(
+            layout.apply(np.asarray(self.cell_ids[:self.n]).astype(np.int32)))
+        self._presorted_values = {}
+        logger.info("Built presorted (bucket, Morton) order: %d -> %d slots",
+                    self.n, self.n_presorted)
+
+    def presorted_values_for(self, buffer_name: str):
+        """Presorted copy of a channel buffer, cached per values_version."""
+        self.ensure_presorted()
+        key = (buffer_name, self.values_version)
+        cached = self._presorted_values.get(key)
+        if cached is None:
+            vals = np.asarray(self.values_for(buffer_name))[:self.n]
+            cached = self._put(self._presorted_layout.apply(vals))
+            self._presorted_values = {key: cached}
+        return cached
+
     def cell_mask_table(self, selected_mask: np.ndarray | None):
         """Device bool table over cells (True = render), for geometric culling."""
         if selected_mask is None:
