@@ -173,8 +173,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     ay_g2 = ay_s.reshape(n_groups, G)
     ax_g2 = ax_s.reshape(n_groups, G)
     # window anchor per group: min row band / min column in the group
-    w0 = (jnp.floor(ay_g2.min(axis=1) / BAND).astype(jnp.int32) * BAND - 2 * BAND)
-    w0 = jnp.clip(w0, 0, atlas_rows - WINDOW_ROWS)
+    window_rows = 96 if presorted_buckets is not None else WINDOW_ROWS
+    w0 = (jnp.floor((ay_g2.min(axis=1) - FOOT) / BAND).astype(jnp.int32) * BAND)
+    w0 = jnp.clip(w0, 0, atlas_rows - window_rows)
     c0e = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
 
     if engine == "pallas":
@@ -194,7 +195,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
     w0_rep = jnp.repeat(w0, G).astype(jnp.float32)
     c0_rep = jnp.repeat(c0e, G).astype(jnp.float32)
-    fits = ((ay_s + FOOT < w0_rep + WINDOW_ROWS)
+    fits = ((ay_s + FOOT < w0_rep + window_rows)
             & (ax_s + FOOT < c0_rep + span_cols)
             & (ax_s - FOOT >= c0_rep))
     coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
@@ -220,7 +221,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                          preferred_element_type=jnp.float32)
         return out.reshape(n_rows, C, -1).transpose(0, 2, 1)
 
-    rows_win = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+    rows_win = jnp.arange(window_rows, dtype=jnp.float32)
     cols_win = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
 
     def body(atlas, inputs):
@@ -230,7 +231,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                      c0_g.astype(jnp.float32),
                                      rows_win, cols_win)
         cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
-                                    (WINDOW_ROWS, WINDOW_COLS, C))
+                                    (window_rows, WINDOW_COLS, C))
         atlas = jax.lax.dynamic_update_slice(atlas, cur + contrib,
                                              (w0_g, c0_g, 0))
         return atlas, None
@@ -248,7 +249,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             inv_h_s.reshape(n_groups, 1, G),
             coef_fit.reshape(n_groups, G, C).transpose(0, 2, 1),
             w0, c0, c0e, flags, atlas_rows=atlas_rows, atlas_cols=atlas_cols,
-            C=C, group=G, interpret=interpret)
+            C=C, group=G, interpret=interpret, window_rows=window_rows)
         atlas = atlas_cf.transpose(1, 2, 0)
     else:
         atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
@@ -294,14 +295,14 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         # windows anchored on valid members only (padding must not drag them)
         ay2m = jnp.where(valid2, ay2, jnp.inf).min(axis=1)
         ay2m = jnp.where(jnp.isfinite(ay2m), ay2m, float(ROW_PAD))
-        sw0 = (jnp.floor(ay2m / BAND).astype(jnp.int32) * BAND - 2 * BAND)
-        sw0 = jnp.clip(sw0, 0, atlas_rows - WINDOW_ROWS)
+        sw0 = (jnp.floor((ay2m - FOOT) / BAND).astype(jnp.int32) * BAND)
+        sw0 = jnp.clip(sw0, 0, atlas_rows - window_rows)
         # spill windows span the full atlas width, so only row-stragglers
         # (pathologically empty 40-row stretches) fall through to tier 3
         sc0 = jnp.zeros_like(sw0)
 
         sw0_rep = jnp.repeat(sw0, G_SPILL).astype(jnp.float32)
-        fits2 = (s_ay + FOOT < sw0_rep + WINDOW_ROWS) & valid
+        fits2 = (s_ay + FOOT < sw0_rep + window_rows) & valid
         s_coef_fit = jnp.where(fits2[:, None], s_coef, 0.0)
         straggler = ~fits2 & valid
         n3 = straggler.sum()
@@ -321,10 +322,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 sw0, sc0, sc0, sflags, atlas_rows=atlas_rows,
                 atlas_cols=atlas_cols, C=C, group=G_SPILL,
                 interpret=interpret, atlas0=atlas.transpose(2, 0, 1),
-                window_cols=atlas_cols)
+                window_cols=atlas_cols, window_rows=window_rows)
             atlas = atlas_cf.transpose(1, 2, 0)
         else:
-            rows_w = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+            rows_w = jnp.arange(window_rows, dtype=jnp.float32)
             cols_full = jnp.arange(atlas_cols, dtype=jnp.float32)
 
             def sbody(atlas, inputs):
@@ -334,7 +335,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                              jnp.float32(0.0),
                                              rows_w, cols_full)
                 cur = jax.lax.dynamic_slice(atlas, (w0_g, 0, 0),
-                                            (WINDOW_ROWS, atlas_cols, C))
+                                            (window_rows, atlas_cols, C))
                 return jax.lax.dynamic_update_slice(atlas, cur + contrib,
                                                     (w0_g, 0, 0)), None
 
@@ -360,12 +361,12 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             t_ih = ops3[3][:T3]
             t_coef = jnp.stack([o[:T3] for o in ops3[4:]], axis=-1)
             t_coef = jnp.where(valid3[:, None], t_coef, 0.0)
-            tw0 = (jnp.floor(t_ay / BAND).astype(jnp.int32) * BAND - 2 * BAND)
-            tw0 = jnp.clip(tw0, 0, atlas_rows - WINDOW_ROWS)
+            tw0 = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32) * BAND)
+            tw0 = jnp.clip(tw0, 0, atlas_rows - window_rows)
             # per-particle column windows always fit (footprint <= 17 px)
             tc0 = jnp.floor(t_ax - FOOT).astype(jnp.int32)
             tc0 = jnp.clip(tc0, 0, atlas_cols - WINDOW_COLS)
-            rows_w = jnp.arange(WINDOW_ROWS, dtype=jnp.float32)
+            rows_w = jnp.arange(window_rows, dtype=jnp.float32)
             cols_w = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
 
             def tbody(atlas, inputs):
@@ -375,7 +376,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                     w0_g.astype(jnp.float32), c0_g.astype(jnp.float32),
                     rows_w, cols_w)
                 cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
-                                            (WINDOW_ROWS, WINDOW_COLS, C))
+                                            (window_rows, WINDOW_COLS, C))
                 return jax.lax.dynamic_update_slice(atlas, cur + contrib,
                                                     (w0_g, c0_g, 0)), None
 

@@ -93,7 +93,7 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
 
 
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
-                 window_cols: int, profile_cols: int):
+                 window_cols: int, profile_cols: int, window_rows: int):
     rolled = profile_cols != window_cols
 
     def kernel(w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref, ih_ref,
@@ -104,7 +104,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 
         def win_slice(idx):
             return (slice(None),
-                    pl.ds(pl.multiple_of(w0_ref[idx], 8), WINDOW_ROWS),
+                    pl.ds(pl.multiple_of(w0_ref[idx], 8), window_rows),
                     pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN),
                           window_cols))
 
@@ -147,7 +147,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             cbase = ce_ref[ig] if rolled else c0
             o = cbase - c0
 
-            rows = jax.lax.broadcasted_iota(jnp.int32, (WINDOW_ROWS, group), 0
+            rows = jax.lax.broadcasted_iota(jnp.int32, (window_rows, group), 0
                                             ).astype(jnp.float32)
             cols = jax.lax.broadcasted_iota(jnp.int32, (profile_cols, group), 0
                                             ).astype(jnp.float32)
@@ -159,7 +159,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                     con = contribs[c]
                     if rolled:
                         con = jnp.concatenate(
-                            [con, jnp.zeros((WINDOW_ROWS,
+                            [con, jnp.zeros((window_rows,
                                              window_cols - profile_cols),
                                             jnp.float32)], axis=1)
                         con = pltpu.roll(con, o, 1)
@@ -224,7 +224,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             if s == SUBGROUPS - 1:
                 @pl.when(g == n_steps - 1)
                 def _(w0=w0, c0=c0):
-                    sl = (slice(None), pl.ds(w0, WINDOW_ROWS),
+                    sl = (slice(None), pl.ds(w0, window_rows),
                           pl.ds(c0, window_cols))
                     out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl],
                                                 sem_out)
@@ -236,11 +236,13 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "C", "group",
-                                    "interpret", "window_cols"))
+                                    "interpret", "window_cols",
+                                    "window_rows"))
 def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
                              atlas_rows: int, atlas_cols: int, C: int,
                              group: int, interpret: bool = False,
-                             atlas0=None, window_cols: int = WINDOW_COLS):
+                             atlas0=None, window_cols: int = WINDOW_COLS,
+                             window_rows: int = WINDOW_ROWS):
     """Run the fused accumulation.
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
@@ -262,7 +264,7 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
     profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
 
     kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
-                          profile_cols)
+                          profile_cols, window_rows)
 
     # blocks carry SUBGROUPS groups per step
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
@@ -286,7 +288,7 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, WINDOW_ROWS, window_cols), jnp.float32),
+            pltpu.VMEM((C, window_rows, window_cols), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
