@@ -14,6 +14,26 @@ import jax
 import jax.numpy as jnp
 
 
+def upsample2x_linear(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample over the two leading axes.
+
+    Matches ``jax.image.resize(x, (2H, 2W, C), "linear", antialias=False)``
+    (half-pixel-centre sampling with edge clamp: out[2k] = 0.75 in[k] +
+    0.25 in[k-1], out[2k+1] = 0.75 in[k] + 0.25 in[k+1]) but lowers to pure
+    shifts and weighted adds — several times faster than the general
+    gather-based resize on TPU, in the pyramid-collapse hot path."""
+
+    def axis0(a):
+        lo = jnp.concatenate([a[:1], a[:-1]], axis=0)
+        hi = jnp.concatenate([a[1:], a[-1:]], axis=0)
+        even = 0.75 * a + 0.25 * lo
+        odd = 0.75 * a + 0.25 * hi
+        return jnp.stack([even, odd], axis=1).reshape((-1,) + a.shape[1:])
+
+    x = axis0(x)
+    return jnp.swapaxes(axis0(jnp.swapaxes(x, 0, 1)), 0, 1)
+
+
 def _integer_shift(im: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """Shift by whole pixels, zero-filling the vacated region."""
     H, W = im.shape[0], im.shape[1]

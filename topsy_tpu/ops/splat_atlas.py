@@ -404,9 +404,8 @@ def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
         levels.append(atlas[r0:r0 + res_l, COL_PAD:COL_PAD + res_l, :])
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
+        from .composite import upsample2x_linear
         target = pyramid.level_resolutions[l]
-        n_in = out.shape[0]
-        up = jax.image.resize(out, (2 * n_in, 2 * n_in, C), method="linear",
-                              antialias=False)[:target, :target]
+        up = upsample2x_linear(out)[:target, :target]
         out = levels[l] + up
     return out

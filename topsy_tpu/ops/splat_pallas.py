@@ -16,7 +16,7 @@ relayouts are needed on the inputs; the deposit is
 
     win[c] += dot((P * coef_c) [R, rank*G], Q [W, rank*G], contract lanes)
 
-Performance structure (measured on v5e; see benchmarks/kernel_ab.py):
+Performance structure (measured on v5e; see benchmarks/breakdown.py):
 
 * The DMA window is 256 columns, 128-aligned (Mosaic requires lane-aligned
   dynamic HBM offsets), but the column profiles Q are evaluated over only
@@ -92,6 +92,91 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
     return jnp.concatenate(pieces, axis=1)
 
 
+def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
+                window_cols: int, profile_cols: int, group: int,
+                fl, ay, ax, ih, coefs, w0, cbase, c0):
+    """Deposit one group into the window scratch, dispatched on its flag.
+
+    ay/ax/ih: (1, G) rows; coefs: list of C (1, G) channel coefficient rows;
+    w0/cbase/c0: scalar window anchors (cbase = exact column base, c0 = the
+    aligned DMA window start the contribution is roll-placed into).
+    """
+    rolled = profile_cols != window_cols
+    o = cbase - c0
+    tiny = ih < 0.0
+    ih2 = ih * ih
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (window_rows, group), 0
+                                    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (profile_cols, group), 0
+                                    ).astype(jnp.float32)
+    dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
+    dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
+
+    def accum(contribs):
+        for c in range(C):
+            con = contribs[c]
+            if rolled:
+                con = jnp.concatenate(
+                    [con, jnp.zeros((window_rows, window_cols - profile_cols),
+                                    jnp.float32)], axis=1)
+                con = pltpu.roll(con, o, 1)
+            win_ref[c, :, :] += con
+
+    # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is far
+    # below the reference's own texture discretization error
+
+    @pl.when(fl == FLAG_ALL_TINY)
+    def _():
+        # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
+        Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+        Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
+        out = []
+        for c in range(C):
+            PC = (Ph * coefs[c]).astype(jnp.bfloat16)
+            out.append(jax.lax.dot_general(
+                PC, Qh, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        accum(out)
+
+    def poly_body(tiny, masked):
+        ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
+        tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
+        rank = lrk.rank
+        P = _profiles_lanes(ty2, tiny, lrk, signed=True)
+        Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
+        if masked:
+            # oversize splats (support beyond the footprint window): truncate
+            # at the footprint, compensated by the normalization table
+            ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+            xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+            P = P * jnp.tile(ymask, (1, rank))
+            Q = Q * jnp.tile(xmask, (1, rank))
+        Q = Q.astype(jnp.bfloat16)
+        out = []
+        for c in range(C):
+            PC = (P * jnp.tile(coefs[c], (1, rank))).astype(jnp.bfloat16)
+            out.append(jax.lax.dot_general(
+                PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+        accum(out)
+
+    # pure-polynomial groups (the common case away from dense fields; tiny
+    # segregation makes mixed groups rare band boundaries) skip the CIC
+    # hat/select work entirely
+    @pl.when(fl == FLAG_POLY)
+    def _():
+        poly_body(None, masked=False)
+
+    @pl.when(fl == FLAG_MIXED)
+    def _():
+        poly_body(tiny, masked=False)
+
+    @pl.when(fl == FLAG_MASKED)
+    def _():
+        poly_body(tiny, masked=True)
+
+
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                  window_cols: int, profile_cols: int, window_rows: int):
     rolled = profile_cols != window_cols
@@ -138,88 +223,12 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             def _(ig=ig):
                 load(ig)
 
-            fl = fl_ref[ig]
-            ay = ay_ref[0, s][None, :]                    # (1, G)
-            ax = ax_ref[0, s][None, :]
-            ih = ih_ref[0, s][None, :]
-            tiny = ih < 0.0
-            ih2 = ih * ih
             cbase = ce_ref[ig] if rolled else c0
-            o = cbase - c0
-
-            rows = jax.lax.broadcasted_iota(jnp.int32, (window_rows, group), 0
-                                            ).astype(jnp.float32)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (profile_cols, group), 0
-                                            ).astype(jnp.float32)
-            dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
-            dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
-
-            def accum(contribs):
-                for c in range(C):
-                    con = contribs[c]
-                    if rolled:
-                        con = jnp.concatenate(
-                            [con, jnp.zeros((window_rows,
-                                             window_cols - profile_cols),
-                                            jnp.float32)], axis=1)
-                        con = pltpu.roll(con, o, 1)
-                    win_ref[c, :, :] += con
-
-            # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is
-            # far below the reference's own texture discretization error
-
-            @pl.when(fl == FLAG_ALL_TINY)
-            def _(s=s, dy=dy, dx=dx):
-                # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
-                Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
-                Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
-                out = []
-                for c in range(C):
-                    PC = (Ph * coef_ref[0, s, c][None, :]).astype(jnp.bfloat16)
-                    out.append(jax.lax.dot_general(
-                        PC, Qh, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                accum(out)
-
-            def poly_body(s, dy, dx, tiny, ih2, masked):
-                ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
-                tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
-                rank = lrk.rank
-                P = _profiles_lanes(ty2, tiny, lrk, signed=True)
-                Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
-                if masked:
-                    # oversize splats (support beyond the footprint window):
-                    # truncate at the footprint, compensated by the
-                    # normalization table (reference: sph.py:84-85 clamps the
-                    # other direction; the coarse-level truncation is ours)
-                    ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
-                    xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
-                    P = P * jnp.tile(ymask, (1, rank))
-                    Q = Q * jnp.tile(xmask, (1, rank))
-                Q = Q.astype(jnp.bfloat16)
-                out = []
-                for c in range(C):
-                    coef_c = jnp.tile(coef_ref[0, s, c][None, :], (1, rank))
-                    PC = (P * coef_c).astype(jnp.bfloat16)
-                    out.append(jax.lax.dot_general(
-                        PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
-                        preferred_element_type=jnp.float32))
-                accum(out)
-
-            # pure-polynomial groups (the common case away from dense
-            # fields; tiny segregation makes mixed groups rare band
-            # boundaries) skip the CIC hat/select work entirely
-            @pl.when(fl == FLAG_POLY)
-            def _(s=s, dy=dy, dx=dx, ih2=ih2):
-                poly_body(s, dy, dx, None, ih2, masked=False)
-
-            @pl.when(fl == FLAG_MIXED)
-            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
-                poly_body(s, dy, dx, tiny, ih2, masked=False)
-
-            @pl.when(fl == FLAG_MASKED)
-            def _(s=s, dy=dy, dx=dx, tiny=tiny, ih2=ih2):
-                poly_body(s, dy, dx, tiny, ih2, masked=True)
+            coefs = [coef_ref[0, s, c][None, :] for c in range(C)]
+            _group_body(win_ref, lrk, C, foot, window_rows, window_cols,
+                        profile_cols, group, fl_ref[ig],
+                        ay_ref[0, s][None, :], ax_ref[0, s][None, :],
+                        ih_ref[0, s][None, :], coefs, w0, cbase, c0)
 
             if s == SUBGROUPS - 1:
                 @pl.when(g == n_steps - 1)

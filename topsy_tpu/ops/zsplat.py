@@ -123,12 +123,11 @@ def _collapse_max(dbuf, vbuf, pyramid: PyramidSpec):
 
     dout, vout = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
+        from .composite import upsample2x_linear
         target = pyramid.level_resolutions[l]
-        n_in = dout.shape[0]
-        dup = jax.image.resize(dout, (2 * n_in, 2 * n_in), method="linear",
-                               antialias=False)[:target, :target]
-        vup = jax.image.resize(vout, (2 * n_in, 2 * n_in), method="linear",
-                               antialias=False)[:target, :target]
+        dv = upsample2x_linear(jnp.stack([dout, vout], axis=-1))
+        dup = dv[:target, :target, 0]
+        vup = dv[:target, :target, 1]
         dfine, vfine = levels[l]
         front = dfine >= dup
         dout = jnp.where(front, dfine, dup)
