@@ -104,6 +104,11 @@ def test_renderer_export_uses_presorted(snap, monkeypatch):
     vis = topsy_tpu.test(20000, render_resolution=128,
                          canvas_class=OffscreenCanvas)
     vis.show_status = False
+    # the one-time presort is only built once exports repeat (a one-shot
+    # save must not pay it)
+    np.asarray(vis.get_sph_image())
+    assert getattr(vis._sph._store, "_presorted_layout", None) is None
+    vis._sph.invalidate()
     im_pre = np.asarray(vis.get_sph_image())
     assert getattr(vis._sph._store, "_presorted_layout", None) is not None
 

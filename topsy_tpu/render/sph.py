@@ -206,13 +206,16 @@ class SPHRenderer:
         # asynchronously and sync once at the end
         sync_blocks = draw_reason != DrawReason.EXPORT
 
-        if draw_reason == DrawReason.EXPORT and self._use_presorted():
-            # sort-free full coverage over the static (bucket, Morton) order;
-            # geometric culling still applies through the cell-mask table
-            self._render_presorted(matrix, scale, first_block)
-            prog.mark_all_rendered(self._render_timer.total_time_in_frame())
-            self._finish_frame(prog)
-            return
+        if draw_reason == DrawReason.EXPORT:
+            use_presorted = self._use_presorted()
+            self._export_renders = getattr(self, "_export_renders", 0) + 1
+            if use_presorted:
+                # sort-free full coverage over the static (bucket, Morton)
+                # order; geometric culling still applies via the cell table
+                self._render_presorted(matrix, scale, first_block)
+                prog.mark_all_rendered(self._render_timer.total_time_in_frame())
+                self._finish_frame(prog)
+                return
 
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
@@ -253,7 +256,15 @@ class SPHRenderer:
     # -- presorted (sort-free) export path --------------------------------------
 
     def _use_presorted(self) -> bool:
-        return self._backend == "atlas" and config.EXPORT_USE_PRESORTED
+        """Sort-free exports pay a one-time host presort (~1 us/particle), so
+        the order is built once exports repeat (movie rendering, repeated
+        saves) — a one-shot save never pays it.  The layout is cached on the
+        store, so later renderers (mode switches) reuse it immediately."""
+        if self._backend != "atlas" or not config.EXPORT_USE_PRESORTED:
+            return False
+        if getattr(self._store, "_presorted_layout", None) is not None:
+            return True
+        return getattr(self, "_export_renders", 0) >= 1
 
     def _render_presorted(self, matrix, scale, first_block: bool):
         store = self._store
