@@ -54,6 +54,10 @@ def _load() -> ctypes.CDLL | None:
             lib.knn_smooth.restype = None
             lib.knn_smooth.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                        ctypes.c_int, ctypes.c_void_p]
+            lib.presort_order.restype = None
+            lib.presort_order.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_double,
+                ctypes.c_void_p, ctypes.c_void_p]
             _lib = lib
             logger.info("Loaded native runtime (%s)", _SO)
         except Exception as e:  # pragma: no cover - toolchain dependent
@@ -102,6 +106,23 @@ def interleave_order(offsets: np.ndarray, lengths: np.ndarray,
     lib.interleave_order(offsets.ctypes.data, lengths.ctypes.data,
                          phi.ctypes.data, len(lengths), n, order.ctypes.data)
     return order
+
+
+def presort_order(pos_smooth: np.ndarray, delta_octave: float):
+    """(buckets, order) for the (smoothing-bucket, Morton) presort
+    (ops/morton.py) via a native LSD radix sort — same key, same result
+    ordering semantics as the numpy path, ~10x faster on big snapshots.
+    None if the native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    ps = np.ascontiguousarray(pos_smooth, dtype=np.float32)
+    n = len(ps)
+    buckets = np.empty(n, dtype=np.int32)
+    order = np.empty(n, dtype=np.int64)
+    lib.presort_order(ps.ctypes.data, n, float(delta_octave),
+                      buckets.ctypes.data, order.ctypes.data)
+    return buckets, order
 
 
 def knn_smooth(positions: np.ndarray, n_neighbors: int = 64) -> np.ndarray | None:

@@ -185,6 +185,85 @@ void knn_smooth(const float* pos, int64_t n, int nn, float* h_out) {
   }
 }
 
-int native_abi_version() { return 1; }
+// ---------------------------------------------------------------------------
+// Presort order for sort-free splatting (ops/morton.py): key = 1/8-octave
+// smoothing bucket (high bits) | 3x16-bit Morton code, LSD radix sorted.
+// Mirrors the numpy implementation exactly (same quantization, same key),
+// ~10x faster for the one-time build on large snapshots.  Fills
+// buckets_out[i] with the absolute bucket of INPUT particle i, and
+// order_out with the sorted permutation.
+// ---------------------------------------------------------------------------
+static inline uint64_t spread_bits16(uint64_t x) {
+  x &= 0xFFFFull;
+  x = (x | (x << 16)) & 0x0000FFFF0000FFFFull;
+  x = (x | (x << 8)) & 0x00FF00FF00FF00FFull;
+  x = (x | (x << 4)) & 0x0F0F0F0F0F0F0F0Full;
+  x = (x | (x << 2)) & 0x3333333333333333ull;
+  x = (x | (x << 1)) & 0x5555555555555555ull;
+  return x;
+}
+
+void presort_order(const float* pos_smooth /* (n,4) */, int64_t n,
+                   double delta_octave, int32_t* buckets_out,
+                   int64_t* order_out) {
+  double lo[3] = {1e300, 1e300, 1e300}, hi[3] = {-1e300, -1e300, -1e300};
+  for (int64_t i = 0; i < n; ++i) {
+    for (int a = 0; a < 3; ++a) {
+      double v = pos_smooth[4 * i + a];
+      if (v < lo[a]) lo[a] = v;
+      if (v > hi[a]) hi[a] = v;
+    }
+  }
+  double span[3];
+  for (int a = 0; a < 3; ++a) span[a] = hi[a] - lo[a] + 1e-300;
+
+  int32_t bmin = INT32_MAX;
+#pragma omp parallel for reduction(min : bmin) schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    double h = pos_smooth[4 * i + 3];
+    if (h < 1e-300) h = 1e-300;
+    int32_t b = (int32_t)std::floor(std::log2(h) / delta_octave);
+    buckets_out[i] = b;
+    if (b < bmin) bmin = b;
+  }
+
+  std::vector<uint64_t> key(n), key2(n);
+  std::vector<uint32_t> idx(n), idx2(n);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t m = 0;
+    for (int a = 0; a < 3; ++a) {
+      uint64_t q = (uint64_t)((pos_smooth[4 * i + a] - lo[a]) / span[a] *
+                              65535.0);
+      m |= spread_bits16(q) << a;
+    }
+    key[i] = ((uint64_t)(uint32_t)(buckets_out[i] - bmin) << 48) | m;
+    idx[i] = (uint32_t)i;
+  }
+
+  // LSD radix, 8 passes of 8 bits (stable)
+  std::vector<int64_t> count(256);
+  for (int pass = 0; pass < 8; ++pass) {
+    const int shift = 8 * pass;
+    std::fill(count.begin(), count.end(), 0);
+    for (int64_t i = 0; i < n; ++i) count[(key[i] >> shift) & 0xFF]++;
+    int64_t acc = 0;
+    for (int b = 0; b < 256; ++b) {
+      int64_t c = count[b];
+      count[b] = acc;
+      acc += c;
+    }
+    for (int64_t i = 0; i < n; ++i) {
+      int64_t d = count[(key[i] >> shift) & 0xFF]++;
+      key2[d] = key[i];
+      idx2[d] = idx[i];
+    }
+    key.swap(key2);
+    idx.swap(idx2);
+  }
+  for (int64_t i = 0; i < n; ++i) order_out[i] = idx[i];
+}
+
+int native_abi_version() { return 2; }
 
 }  // extern "C"

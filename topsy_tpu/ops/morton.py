@@ -90,13 +90,18 @@ def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
     """Compute the (bucket, Morton) order with runs padded to ``pad_group``
     and the total padded to a ``pad_total`` multiple."""
     pos_smooth = np.asarray(pos_smooth)
-    buckets = smoothing_buckets(pos_smooth[:, 3])
-    codes = morton_codes(pos_smooth[:, :3])
-    # single combined u64 key (bucket in the high bits above the 48-bit
-    # morton code): one argsort is ~2x faster than a two-key lexsort, and
-    # this runs once per snapshot on the host
-    b_rel = (buckets - buckets.min()).astype(np.uint64)
-    order = np.argsort((b_rel << np.uint64(48)) | codes, kind="stable")
+    from .. import native
+    nat = native.presort_order(pos_smooth, DELTA_OCTAVE)
+    if nat is not None:
+        buckets, order = nat
+    else:
+        buckets = smoothing_buckets(pos_smooth[:, 3])
+        codes = morton_codes(pos_smooth[:, :3])
+        # single combined u64 key (bucket in the high bits above the 48-bit
+        # morton code): one argsort is ~2x faster than a two-key lexsort,
+        # and this runs once per snapshot on the host
+        b_rel = (buckets - buckets.min()).astype(np.uint64)
+        order = np.argsort((b_rel << np.uint64(48)) | codes, kind="stable")
     b_sorted = buckets[order]
 
     # run boundaries of equal buckets in the sorted stream
