@@ -67,3 +67,32 @@ def test_lod_prefix_balanced_and_correct(data):
     np.testing.assert_allclose(im8, im1, rtol=1e-4,
                                atol=1e-12 + 1e-6 * np.abs(im1).max())
     assert im1[..., 0].sum() > 0
+
+
+def test_presorted_multichip_matches_sorted(data):
+    """The sort-free presorted slabs reproduce the sorted multi-chip render
+    (levels may differ by one near bucket edges; distributions must agree)."""
+    ps, vals, matrix = data
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES)
+    im_sorted = np.asarray(sp.render(matrix, SCALE))
+    im_pre, dropped = sp.render_presorted(matrix, SCALE)
+    im_pre = np.asarray(im_pre)
+    assert int(dropped) == 0
+    assert im_pre[..., 0].sum() == pytest.approx(im_sorted[..., 0].sum(),
+                                                 rel=1e-3)
+    corr = np.corrcoef(im_pre[..., 0].ravel(),
+                       im_sorted[..., 0].ravel())[0, 1]
+    assert corr > 0.999
+
+
+def test_presorted_multichip_shard_invariance(data):
+    """Presorted output is invariant to the mesh size."""
+    ps, vals, matrix = data
+    im1, d1 = DistributedSplatter(make_mesh(1), ps, vals,
+                                  RES).render_presorted(matrix, SCALE)
+    im8, d8 = DistributedSplatter(make_mesh(8), ps, vals,
+                                  RES).render_presorted(matrix, SCALE)
+    assert int(d1) == 0 and int(d8) == 0
+    np.testing.assert_allclose(np.asarray(im8), np.asarray(im1), rtol=1e-3,
+                               atol=1e-6 * float(np.abs(np.asarray(im1)).max()))

@@ -119,6 +119,13 @@ class DistributedSplatter:
         self.local_n = -(-self.n // self.n_devices)
         self._depth_channel = depth_channel
         self._backend = backend
+        # host copies kept for the lazily-built presorted (sort-free) layout
+        self._host_pos_smooth = np.asarray(pos_smooth, np.float32)
+        self._host_values = np.asarray(values, np.float32)
+        self._host_cell_ids = (np.asarray(cell_ids, np.int32)
+                               if cell_ids is not None else None)
+        self._presorted = None
+        self._presorted_steps: dict[int, object] = {}
 
         sharding = NamedSharding(mesh, P(self.axis))
         self.pos_smooth = jax.device_put(
@@ -173,6 +180,97 @@ class DistributedSplatter:
             out_specs=P(),
             check_vma=False)
         return jax.jit(shard_fn)
+
+    # -- presorted (sort-free) full renders ------------------------------------
+
+    def supports_presorted(self) -> bool:
+        """The presorted layout needs the global host arrays (single-host
+        construction); from_process_local shards never materialize them."""
+        return getattr(self, "_host_pos_smooth", None) is not None
+
+    def has_presorted(self) -> bool:
+        return getattr(self, "_presorted", None) is not None
+
+    def ensure_presorted(self):
+        """Shard the static (bucket, Morton) order (ops/morton.py) as
+        contiguous per-device slabs.  Morton slabs are spatially coherent, so
+        each shard's groups stay window-local without any per-frame sort;
+        the framebuffer psum is unchanged."""
+        if self._presorted is not None or not self.supports_presorted():
+            return
+        from ..ops import morton
+        layout = morton.build_presorted(self._host_pos_smooth,
+                                        pad_total=4096 * self.n_devices)
+        sharding = NamedSharding(self.mesh, P(self.axis))
+        ln = layout.n_out // self.n_devices
+
+        def slab(arr):
+            return jax.device_put(
+                arr.reshape(self.n_devices, ln, *arr.shape[1:]), sharding)
+
+        cell_ids = (self._host_cell_ids if self._host_cell_ids is not None
+                    else np.zeros(self.n, dtype=np.int32))
+        self._presorted = dict(
+            local_n=ln,
+            pos=slab(layout.apply(self._host_pos_smooth,
+                                  fill=morton.PAD_POS)),
+            values=slab(layout.apply(self._host_values)),
+            buckets=slab(layout.buckets),
+            cell_ids=slab(layout.apply(cell_ids)),
+        )
+
+    def _build_presorted_step(self, bucket: int):
+        axis = self.axis
+        resolution = self.resolution
+        depth_channel = self._depth_channel
+        local_n = self._presorted["local_n"]
+        C = int(self._host_values.shape[-1])
+
+        def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
+                         start, count):
+            pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
+            sl = jnp.clip(start, 0, local_n - bucket)
+            p = jax.lax.dynamic_slice(pos, (sl, 0), (bucket, 4))
+            v = jax.lax.dynamic_slice(vals, (sl, 0), (bucket, C))
+            b = jax.lax.dynamic_slice(buckets, (sl,), (bucket,))
+            cid = jax.lax.dynamic_slice(ids, (sl,), (bucket,))
+            idx = sl + jnp.arange(bucket, dtype=jnp.int32)
+            mask = (idx >= start) & (idx < start + count) & cell_table[cid]
+            im, dropped = splat_atlas.splat_atlas(
+                p, v, matrix, resolution, scale, extra_mask=mask,
+                depth_channel=depth_channel, presorted_buckets=b)
+            return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
+
+        shard_fn = jax.shard_map(
+            local_render, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shard_fn)
+
+    def render_presorted(self, matrix, scale, cell_mask=None):
+        """Full-coverage sort-free render of all particles across the mesh;
+        returns (image, dropped)."""
+        self.ensure_presorted()
+        ps = self._presorted
+        ln = ps["local_n"]
+        bucket = local_bucket_size(ln, ln)
+        table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        total = None
+        dropped = jnp.int32(0)
+        for piece in range(0, ln, bucket):
+            step = self._presorted_steps.get(bucket)
+            if step is None:
+                step = self._presorted_steps[bucket] = \
+                    self._build_presorted_step(bucket)
+            im, d = step(ps["pos"], ps["values"], ps["buckets"],
+                         ps["cell_ids"], table,
+                         jnp.asarray(matrix, jnp.float32), jnp.float32(scale),
+                         jnp.int32(piece), jnp.int32(min(bucket, ln - piece)))
+            total = im if total is None else total + im
+            dropped = dropped + d
+        return total, dropped
 
     def render(self, matrix, scale, start: int = 0, count: int | None = None,
                cell_mask=None):

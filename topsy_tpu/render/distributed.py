@@ -9,6 +9,7 @@ chips on their particle shards and psum-reduced over ICI
 
 from __future__ import annotations
 
+import jax
 import numpy as np
 
 from .. import config
@@ -31,9 +32,26 @@ class DistributedSPHRenderer(SPHRenderer):
         self._splatter_version = None
 
     def _use_presorted(self) -> bool:
-        # the sharded splatter owns its own layout; the single-device
-        # presorted copies do not apply here
-        return False
+        # the sharded splatter owns its own presorted slabs (contiguous
+        # Morton slices per device), not the store's single-device copies
+        if self._backend != "atlas" or not config.EXPORT_USE_PRESORTED:
+            return False
+        splatter = self._get_splatter()
+        if not splatter.supports_presorted():
+            return False
+        if splatter.has_presorted():
+            return True
+        return getattr(self, "_export_renders", 0) >= 1
+
+    def _render_presorted(self, matrix, scale, first_block: bool):
+        splatter = self._get_splatter()
+        mask = self._render_progression.get_selected_cell_mask()
+        with self._render_timer:
+            im, dropped = splatter.render_presorted(
+                np.asarray(matrix), float(scale), cell_mask=mask)
+            self._dropped_splats = dropped
+            self._image = im if first_block else self._image + im
+            jax.block_until_ready(self._image)
 
     def _get_splatter(self) -> DistributedSplatter:
         version = (self._buffer_name, self._store.values_version)
