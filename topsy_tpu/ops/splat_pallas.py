@@ -113,15 +113,20 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
     dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
     dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
 
-    def accum(contribs):
+    def accum(pc_all, q):
+        # one channel-stacked matmul: (C*R, rank*G) @ (Wq, rank*G)^T; placed
+        # with one roll and accumulated per channel via static row slices
+        con = jax.lax.dot_general(
+            pc_all, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        if rolled:
+            con = jnp.concatenate(
+                [con, jnp.zeros((C * window_rows,
+                                 window_cols - profile_cols),
+                                jnp.float32)], axis=1)
+            con = pltpu.roll(con, o, 1)
         for c in range(C):
-            con = contribs[c]
-            if rolled:
-                con = jnp.concatenate(
-                    [con, jnp.zeros((window_rows, window_cols - profile_cols),
-                                    jnp.float32)], axis=1)
-                con = pltpu.roll(con, o, 1)
-            win_ref[c, :, :] += con
+            win_ref[c, :, :] += con[c * window_rows:(c + 1) * window_rows]
 
     # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is far
     # below the reference's own texture discretization error
@@ -131,13 +136,8 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
         # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
         Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
         Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
-        out = []
-        for c in range(C):
-            PC = (Ph * coefs[c]).astype(jnp.bfloat16)
-            out.append(jax.lax.dot_general(
-                PC, Qh, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        accum(out)
+        pc = jnp.concatenate([(Ph * coefs[c]) for c in range(C)], axis=0)
+        accum(pc.astype(jnp.bfloat16), Qh)
 
     def poly_body(tiny, masked):
         ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
@@ -152,14 +152,9 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
             xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
             P = P * jnp.tile(ymask, (1, rank))
             Q = Q * jnp.tile(xmask, (1, rank))
-        Q = Q.astype(jnp.bfloat16)
-        out = []
-        for c in range(C):
-            PC = (P * jnp.tile(coefs[c], (1, rank))).astype(jnp.bfloat16)
-            out.append(jax.lax.dot_general(
-                PC, Q, dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32))
-        accum(out)
+        pc = jnp.concatenate(
+            [P * jnp.tile(coefs[c], (1, rank)) for c in range(C)], axis=0)
+        accum(pc.astype(jnp.bfloat16), Q.astype(jnp.bfloat16))
 
     # pure-polynomial groups (the common case away from dense fields; tiny
     # segregation makes mixed groups rare band boundaries) skip the CIC
