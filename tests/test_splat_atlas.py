@@ -135,3 +135,57 @@ def test_atlas_z_culling_and_mask():
                                      jnp.asarray(make_matrix()), RES, SCALE,
                                      extra_mask=mask)
     assert float(np.asarray(im2).sum()) == 0.0
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_atlas_giant_splats_masked_path(engine):
+    """Splats whose smoothing clamps above SPLAT_MAX_HALF_SIZE_PX at the
+    coarsest level take the footprint-masked kernel path; the truncation is
+    exactly compensated by the normalization table (mass conserved)."""
+    rng = np.random.RandomState(1)
+    n = 600
+    ps = np.zeros((n, 4), dtype=np.float32)
+    ps[:, :3] = rng.uniform(-60, 60, (n, 3))
+    # smoothing spanning moderate to box-scale: the largest land on the
+    # clamped coarsest level (h_eff in (3.5, 16])
+    ps[:, 3] = np.exp(rng.uniform(np.log(5.0), np.log(400.0), n)).astype(np.float32)
+    vals = np.ones((n, 1), dtype=np.float32)
+    im, dropped = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                          jnp.asarray(make_matrix()), RES,
+                                          SCALE, engine=engine)
+    im, dropped = np.asarray(im), int(dropped)
+    assert dropped == 0
+    # all mass on screen (splats centred well inside the viewport; the
+    # footprint truncation must not lose the wings' mass)
+    assert im[:, :, 0].sum() * pixel_area() == pytest.approx(n * 1.0, rel=0.03)
+    ref = render_scatter(ps, vals, make_matrix())
+    corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
+    assert corr > 0.995
+
+
+@pytest.mark.parametrize("engine", ["scan", "pallas"])
+def test_atlas_heavy_spill_stress(engine):
+    """A scene engineered so group windows misfit en masse (alternating
+    distant clusters interleaved in memory): the group-gathered spill tiers
+    must still conserve mass and match the exact scatter path."""
+    rng = np.random.RandomState(2)
+    n = 4096
+    ps = np.zeros((n, 4), dtype=np.float32)
+    # interleave four corners so consecutive particles are far apart and no
+    # 512-group fits one accumulation window
+    corners = np.array([[-120, -120], [120, -120], [-120, 120], [120, 120]])
+    c = corners[np.arange(n) % 4]
+    ps[:, 0] = c[:, 0] + rng.uniform(-20, 20, n)
+    ps[:, 1] = c[:, 1] + rng.uniform(-20, 20, n)
+    ps[:, 2] = rng.uniform(-50, 50, n)
+    ps[:, 3] = rng.uniform(2.0, 6.0, n)
+    vals = np.ones((n, 1), dtype=np.float32)
+    im, dropped = splat_atlas.splat_atlas(jnp.asarray(ps), jnp.asarray(vals),
+                                          jnp.asarray(make_matrix()), RES,
+                                          SCALE, engine=engine)
+    im, dropped = np.asarray(im), int(dropped)
+    assert dropped == 0
+    ref = render_scatter(ps, vals, make_matrix())
+    assert im[:, :, 0].sum() == pytest.approx(ref[:, :, 0].sum(), rel=0.01)
+    corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
+    assert corr > 0.999
