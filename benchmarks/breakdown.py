@@ -27,7 +27,9 @@ def _sync(out):
     float(jnp.sum(leaf))
 
 
-def timed(fn, *args, reps=5, rounds=3):
+def timed(fn, *args, reps=30, rounds=3):
+    # reps must be high: the axon tunnel costs ~0.45 ms per dispatch
+    # (measured), so 5 reps would inflate every stage by ~5 ms
     out = fn(*args)
     _sync(out)
     best = float("inf")
@@ -160,10 +162,33 @@ def main():
     coll = jax.jit(lambda a: splat_atlas.collapse_atlas(a, pyramid))
     t_coll, _ = timed(coll, atlas)
 
+    # ---- presorted (bench) path --------------------------------------------
+    from topsy_tpu.ops import morton
+    ps_np = np.asarray(pos_smooth)
+    values_np = np.asarray(values)
+    layout = morton.build_presorted(ps_np)
+    ps_pre = jnp.asarray(layout.apply(ps_np, fill=morton.PAD_POS))
+    vals_pre = jnp.asarray(layout.apply(values_np))
+    buckets = jnp.asarray(layout.buckets)
+    pre_full = jax.jit(lambda ps, vals, m, b: splat_atlas.splat_atlas(
+        ps, vals, m, resolution, scale, presorted_buckets=b)[0])
+    t_pre, _ = timed(pre_full, ps_pre, vals_pre, matrix, buckets)
+
+    from topsy_tpu.ops.splat import levels_from_buckets
+    px_per_world = resolution / (2.0 * scale)
+
+    pre_front = jax.jit(lambda ps, vals, m, b: splat_coefficients(
+        ps, vals, m, resolution, scale, pyramid, None, mode="lowrank",
+        level_override=levels_from_buckets(b, px_per_world,
+                                           pyramid.num_levels)))
+    t_pre_front, _ = timed(pre_front, ps_pre, vals_pre, matrix, buckets)
+
     def row(name, t):
         print(f"{name:28s} {t*1e3:9.3f} ms   {n/t/1e6:8.1f} M/s")
 
     print(f"n = 2^{log2n} = {n}, groups = {n_groups}, backend = {jax.default_backend()}")
+    row("full splat_atlas (presort)", t_pre)
+    row("presort front-end", t_pre_front)
     row("full splat_atlas", t_full)
     row("front-end coefficients", t_front)
     row(f"lax.sort ({4 + C} operands)", t_sort)

@@ -46,9 +46,11 @@ PROJECTED_DENSITY_NAME = "Projected density"
 MAX_SURFACE_SMOOTH_PIXELS = 100
 
 # ------------------------------------------------------------- TPU renderer --
-SPLAT_KERNEL_RANK = 3
+SPLAT_KERNEL_RANK = 2
 # rank of the separable (eigen) decomposition of the projected SPH kernel;
-# rank 3 reproduces the kernel to <0.1% relative L2 error.
+# rank 2 reproduces the kernel to 1.3e-3 of peak (rank 3: 1.0e-3 — no
+# meaningful gain), and the VPU profile-evaluation cost in the splat kernel
+# scales linearly with rank.
 
 SPLAT_POLY_DEGREE = 6
 # degree (in t^2) of the polynomial fit to each kernel eigen-profile.  The
