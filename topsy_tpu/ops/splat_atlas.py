@@ -170,13 +170,29 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         coef_s = jnp.stack(sorted_ops[4:], axis=-1)
 
     n_groups = n_pad // G
+    # per-particle true support radius in level pixels (the deposit is
+    # exactly zero beyond it): 1 for CIC hats, KERNEL_SUPPORT * h_eff for
+    # polynomials, FOOT for oversize footprint-truncated splats.  Anchoring
+    # windows and fit tests on it (instead of the worst-case FOOT) shrinks
+    # group spans by up to 14 px, moving most groups into smaller size
+    # classes and reducing spills.
+    sup_s = jnp.where(inv_h_s < 0.0, 1.0,
+                      jnp.minimum(kernels.KERNEL_SUPPORT / inv_h_s, FOOT))
+    ay_lo = ay_s - sup_s
+    ay_hi = ay_s + sup_s
+    ax_lo = ax_s - sup_s
+    ax_hi = ax_s + sup_s
     ay_g2 = ay_s.reshape(n_groups, G)
     ax_g2 = ax_s.reshape(n_groups, G)
-    # window anchor per group: min row band / min column in the group
+    lo_r = ay_lo.reshape(n_groups, G).min(axis=1)
+    hi_r = ay_hi.reshape(n_groups, G).max(axis=1)
+    lo_c = ax_lo.reshape(n_groups, G).min(axis=1)
+    hi_c = ax_hi.reshape(n_groups, G).max(axis=1)
+    # window anchor per group: min supported row band / column in the group
     window_rows = 96 if presorted_buckets is not None else WINDOW_ROWS
-    w0 = (jnp.floor((ay_g2.min(axis=1) - FOOT) / BAND).astype(jnp.int32) * BAND)
+    w0 = (jnp.floor(lo_r / BAND).astype(jnp.int32) * BAND)
     w0 = jnp.clip(w0, 0, atlas_rows - window_rows)
-    c0e = jnp.floor(ax_g2.min(axis=1) - FOOT).astype(jnp.int32)
+    c0e = jnp.floor(lo_c).astype(jnp.int32)
 
     if engine == "pallas":
         from . import splat_pallas
@@ -195,9 +211,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
     w0_rep = jnp.repeat(w0, G).astype(jnp.float32)
     c0_rep = jnp.repeat(c0e, G).astype(jnp.float32)
-    fits = ((ay_s + FOOT < w0_rep + window_rows)
-            & (ax_s + FOOT < c0_rep + span_cols)
-            & (ax_s - FOOT >= c0_rep))
+    fits = ((ay_hi < w0_rep + window_rows)
+            & (ax_hi < c0_rep + span_cols)
+            & (ax_lo >= c0_rep))
     coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
 
     def group_contribution(ay_g, ax_g, inv_h_g, coef_g, w0_g, c0_g, rows, cols):
@@ -240,9 +256,22 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         from . import splat_pallas
         from .splat import H_MAX
         interpret = jax.default_backend() != "tpu"
+        # size class per group: smallest (rows, cols) profile-evaluation
+        # extent that bounds every member's supported footprint (max over
+        # the group, including spilled members — conservative for the rare
+        # spill groups)
+        w0f = w0.astype(jnp.float32)
+        c0ef = c0e.astype(jnp.float32)
+        sizes = jnp.full_like(w0, splat_pallas.FULL_CLASS)
+        for sz in range(len(splat_pallas.SIZE_CLASSES) - 2, -1, -1):
+            r_e, c_e = splat_pallas.SIZE_CLASSES[sz]
+            r_e = window_rows if r_e is None else min(r_e, window_rows)
+            c_e = splat_pallas.PROFILE_COLS if c_e is None else c_e
+            fit_sz = (hi_r < w0f + r_e) & (hi_c < c0ef + c_e)
+            sizes = jnp.where(fit_sz, sz, sizes)
         flags = splat_pallas.group_flags(
             inv_h_s.reshape(n_groups, G),
-            coef_fit.reshape(n_groups, G, C), H_MAX)
+            coef_fit.reshape(n_groups, G, C), H_MAX, sizes=sizes)
         atlas_cf = splat_pallas.accumulate_groups_pallas(
             ay_s.reshape(n_groups, 1, G),
             ax_s.reshape(n_groups, 1, G),

@@ -66,6 +66,15 @@ FLAG_POLY = 2       # no tiny, no oversize splats: pure clamped polynomials
 FLAG_MIXED = 3      # tiny + polynomial splats, none oversize
 FLAG_MASKED = 4     # contains oversize (footprint-truncated) splats
 
+# size classes: per-group profile-evaluation extents (rows, cols).  Median
+# presorted groups span only ~4-15 rows x 15-33 cols (measured), so
+# evaluating the full window for every group wastes most of the VPU work.
+# The combined prefetched flag is kind * 4 + size_class; TINY and POLY
+# groups whose supported span (plus anchor-alignment slack) fits a smaller
+# class take it, everything else uses the full window.
+SIZE_CLASSES = ((16, 32), (32, 64), (48, 128), (None, None))
+FULL_CLASS = len(SIZE_CLASSES) - 1
+
 SUPPORT2 = kernels.KERNEL_SUPPORT ** 2
 
 
@@ -92,23 +101,25 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
     return jnp.concatenate(pieces, axis=1)
 
 
-def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
-                window_cols: int, profile_cols: int, group: int,
-                fl, ay, ax, ih, coefs, w0, cbase, c0):
-    """Deposit one group into the window scratch, dispatched on its flag.
+def _deposit(win_ref, lrk, C: int, foot: float, window_cols: int,
+             rows_eval: int, cols_eval: int, rolled: bool, group: int,
+             kind: int, ay, ax, ih, coefs, w0, cbase, c0):
+    """Deposit one group into the window scratch at static eval extents.
 
     ay/ax/ih: (1, G) rows; coefs: list of C (1, G) channel coefficient rows;
-    w0/cbase/c0: scalar window anchors (cbase = exact column base, c0 = the
-    aligned DMA window start the contribution is roll-placed into).
+    w0/cbase/c0: scalar anchors (w0 = DMA window row start = the group's
+    8-aligned row anchor, cbase = exact column base, c0 = the aligned DMA
+    window column start the contribution is roll-placed into).  Profiles are
+    evaluated over (rows_eval, cols_eval) only; the size class chosen in
+    splat_atlas guarantees every fitting particle's footprint lies inside.
     """
-    rolled = profile_cols != window_cols
     o = cbase - c0
     tiny = ih < 0.0
     ih2 = ih * ih
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (window_rows, group), 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_eval, group), 0
                                     ).astype(jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (profile_cols, group), 0
+    cols = jax.lax.broadcasted_iota(jnp.int32, (cols_eval, group), 0
                                     ).astype(jnp.float32)
     dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
     dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
@@ -121,55 +132,67 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
             preferred_element_type=jnp.float32)
         if rolled:
             con = jnp.concatenate(
-                [con, jnp.zeros((C * window_rows,
-                                 window_cols - profile_cols),
+                [con, jnp.zeros((C * rows_eval, window_cols - cols_eval),
                                 jnp.float32)], axis=1)
             con = pltpu.roll(con, o, 1)
         for c in range(C):
-            win_ref[c, :, :] += con[c * window_rows:(c + 1) * window_rows]
+            win_ref[c, :rows_eval, :] += con[c * rows_eval:(c + 1) * rows_eval]
 
     # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is far
     # below the reference's own texture discretization error
 
-    @pl.when(fl == FLAG_ALL_TINY)
-    def _():
+    if kind == FLAG_ALL_TINY:
         # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
         Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
         Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
         pc = jnp.concatenate([(Ph * coefs[c]) for c in range(C)], axis=0)
         accum(pc.astype(jnp.bfloat16), Qh)
+        return
 
-    def poly_body(tiny, masked):
-        ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
-        tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
-        rank = lrk.rank
-        P = _profiles_lanes(ty2, tiny, lrk, signed=True)
-        Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
-        if masked:
-            # oversize splats (support beyond the footprint window): truncate
-            # at the footprint, compensated by the normalization table
-            ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
-            xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
-            P = P * jnp.tile(ymask, (1, rank))
-            Q = Q * jnp.tile(xmask, (1, rank))
-        pc = jnp.concatenate(
-            [P * jnp.tile(coefs[c], (1, rank)) for c in range(C)], axis=0)
-        accum(pc.astype(jnp.bfloat16), Q.astype(jnp.bfloat16))
+    masked = kind == FLAG_MASKED
+    if kind == FLAG_POLY:
+        tiny = None  # pure-polynomial: skip the CIC hat/select work
+    ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
+    tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
+    rank = lrk.rank
+    P = _profiles_lanes(ty2, tiny, lrk, signed=True)
+    Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
+    if masked:
+        # oversize splats (support beyond the footprint window): truncate
+        # at the footprint, compensated by the normalization table
+        ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+        xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+        P = P * jnp.tile(ymask, (1, rank))
+        Q = Q * jnp.tile(xmask, (1, rank))
+    pc = jnp.concatenate(
+        [P * jnp.tile(coefs[c], (1, rank)) for c in range(C)], axis=0)
+    accum(pc.astype(jnp.bfloat16), Q.astype(jnp.bfloat16))
 
-    # pure-polynomial groups (the common case away from dense fields; tiny
-    # segregation makes mixed groups rare band boundaries) skip the CIC
-    # hat/select work entirely
-    @pl.when(fl == FLAG_POLY)
-    def _():
-        poly_body(None, masked=False)
 
-    @pl.when(fl == FLAG_MIXED)
-    def _():
-        poly_body(tiny, masked=False)
+def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
+                window_cols: int, profile_cols: int, group: int,
+                fl, ay, ax, ih, coefs, w0, cbase, c0):
+    """Dispatch one group on its combined (kind, size-class) flag."""
+    rolled = profile_cols != window_cols
 
-    @pl.when(fl == FLAG_MASKED)
-    def _():
-        poly_body(tiny, masked=True)
+    def classes_for(kind):
+        # MIXED/MASKED are rare (band boundaries, clamped coarse splats):
+        # full extents only, keeping the branch count small
+        if kind in (FLAG_ALL_TINY, FLAG_POLY) and rolled:
+            return range(len(SIZE_CLASSES))
+        return (FULL_CLASS,)
+
+    for kind in (FLAG_ALL_TINY, FLAG_POLY, FLAG_MIXED, FLAG_MASKED):
+        for sz in classes_for(kind):
+            r_e, c_e = SIZE_CLASSES[sz]
+            rows_eval = window_rows if r_e is None else min(r_e, window_rows)
+            cols_eval = profile_cols if c_e is None else min(c_e, profile_cols)
+
+            @pl.when(fl == kind * 4 + sz)
+            def _(rows_eval=rows_eval, cols_eval=cols_eval, kind=kind):
+                _deposit(win_ref, lrk, C, foot, window_cols, rows_eval,
+                         cols_eval, rolled, group, kind, ay, ax, ih, coefs,
+                         w0, cbase, c0)
 
 
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
@@ -311,23 +334,33 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
 
 
 def group_flags(ih_groups: jnp.ndarray, coef_groups: jnp.ndarray,
-                h_max: float) -> jnp.ndarray:
+                h_max: float, sizes: jnp.ndarray | None = None) -> jnp.ndarray:
     """Classify groups for the kernel's specialized paths, vectorized.
 
     ih_groups: (n_groups, G) signed inverse smoothing (negative = tiny CIC);
     coef_groups: (n_groups, G, C) fit-masked deposit coefficients;
     h_max: level-pixel smoothing above which footprints are truncated
     (config.SPLAT_MAX_HALF_SIZE_PX) — only clamped coarsest-level splats
-    exceed it.
+    exceed it; sizes: (n_groups,) int32 SIZE_CLASSES index per group (from
+    the group's row/col span), or None to force the full window everywhere.
+
+    Returns the combined prefetched flag kind * 4 + size_class (size only
+    differentiates TINY/POLY groups; the rare kinds always run full).
     """
     active = jnp.abs(coef_groups).sum(axis=(1, 2)) > 0.0
     all_tiny = ih_groups.max(axis=1) < 0.0
     any_tiny = ih_groups.min(axis=1) < 0.0
     big_th = (1.0 / h_max) * (1.0 - 1e-6)
     any_big = ((ih_groups > 0.0) & (ih_groups < big_th)).any(axis=1)
-    return jnp.where(
+    kind = jnp.where(
         ~active, FLAG_INACTIVE,
         jnp.where(all_tiny, FLAG_ALL_TINY,
                   jnp.where(any_big, FLAG_MASKED,
                             jnp.where(any_tiny, FLAG_MIXED,
                                       FLAG_POLY)))).astype(jnp.int32)
+    if sizes is None:
+        sz = jnp.full_like(kind, FULL_CLASS)
+    else:
+        sz = jnp.where((kind == FLAG_ALL_TINY) | (kind == FLAG_POLY),
+                       sizes.astype(jnp.int32), FULL_CLASS)
+    return kind * 4 + sz
