@@ -158,7 +158,7 @@ def main():
     t_kern, _ = timed(kern, *args)
 
     # ---- collapse ----------------------------------------------------------
-    atlas = jnp.zeros((atlas_rows, atlas_cols, C), jnp.float32)
+    atlas = jnp.zeros((C, atlas_rows, atlas_cols), jnp.float32)
     coll = jax.jit(lambda a: splat_atlas.collapse_atlas(a, pyramid))
     t_coll, _ = timed(coll, atlas)
 

@@ -34,6 +34,26 @@ def upsample2x_linear(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.swapaxes(axis0(jnp.swapaxes(x, 0, 1)), 0, 1)
 
 
+def upsample2x_linear_cm(x: jnp.ndarray) -> jnp.ndarray:
+    """Exact 2x bilinear upsample over the two *trailing* axes.
+
+    Channel-major companion of :func:`upsample2x_linear` for (C, H, W)
+    images: the channel axis stays leading, so the sublane/lane dims remain
+    the full-resolution (H, W) — on TPU a trailing channel dim of 2 wastes
+    126/128 vector lanes and forces relayouts."""
+
+    def axis_last(a):
+        lo = jnp.concatenate([a[..., :1], a[..., :-1]], axis=-1)
+        hi = jnp.concatenate([a[..., 1:], a[..., -1:]], axis=-1)
+        even = 0.75 * a + 0.25 * lo
+        odd = 0.75 * a + 0.25 * hi
+        return jnp.stack([even, odd], axis=-1).reshape(
+            a.shape[:-1] + (2 * a.shape[-1],))
+
+    x = axis_last(x)
+    return jnp.swapaxes(axis_last(jnp.swapaxes(x, -1, -2)), -1, -2)
+
+
 def _integer_shift(im: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:
     """Shift by whole pixels, zero-filling the vacated region."""
     H, W = im.shape[0], im.shape[1]

@@ -64,7 +64,7 @@ def atlas_layout(pyramid: PyramidSpec):
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
                 depth_channel=False, engine: str | None = None,
-                presorted_buckets=None):
+                presorted_buckets=None, _stop_after: str | None = None):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
     ``engine``: 'pallas' (fused TPU kernel), 'scan' (pure-XLA fallback), or
@@ -73,6 +73,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     that the arrays are already in (bucket, Morton) order with padded runs
     (ops/morton.py) — the per-frame sort is skipped entirely and levels are
     derived from the buckets.
+    ``_stop_after``: profiling aid (benchmarks/breakdown.py): truncate the
+    pipeline after 'frontend' / 'anchors' / 'kernel' / 'spill' and return
+    whatever is computed so far — NOT the normal contract.
     Returns (image (res, res, C), spilled_dropped count).
     """
     if engine is None:
@@ -169,6 +172,9 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         _, ay_s, ax_s, inv_h_s = sorted_ops[:4]
         coef_s = jnp.stack(sorted_ops[4:], axis=-1)
 
+    if _stop_after == "frontend":
+        return ay_s, ax_s, inv_h_s, coef_s
+
     n_groups = n_pad // G
     # per-particle true support radius in level pixels (the deposit is
     # exactly zero beyond it): 1 for CIC hats, KERNEL_SUPPORT * h_eff for
@@ -235,7 +241,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         Q2 = Q.reshape(PC2.shape[0], -1)                         # (K*G, W)
         out = jnp.einsum("xr,xw->rw", PC2, Q2,
                          preferred_element_type=jnp.float32)
-        return out.reshape(n_rows, C, -1).transpose(0, 2, 1)
+        return out.reshape(n_rows, C, -1).transpose(1, 0, 2)     # (C, R, W)
 
     rows_win = jnp.arange(window_rows, dtype=jnp.float32)
     cols_win = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
@@ -246,10 +252,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                      w0_g.astype(jnp.float32),
                                      c0_g.astype(jnp.float32),
                                      rows_win, cols_win)
-        cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
-                                    (window_rows, WINDOW_COLS, C))
+        cur = jax.lax.dynamic_slice(atlas, (0, w0_g, c0_g),
+                                    (C, window_rows, WINDOW_COLS))
         atlas = jax.lax.dynamic_update_slice(atlas, cur + contrib,
-                                             (w0_g, c0_g, 0))
+                                             (0, w0_g, c0_g))
         return atlas, None
 
     if engine == "pallas":
@@ -272,21 +278,25 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         flags = splat_pallas.group_flags(
             inv_h_s.reshape(n_groups, G),
             coef_fit.reshape(n_groups, G, C), H_MAX, sizes=sizes)
-        atlas_cf = splat_pallas.accumulate_groups_pallas(
+        if _stop_after == "anchors":
+            return w0, c0, c0e, coef_fit, flags
+        atlas = splat_pallas.accumulate_groups_pallas(
             ay_s.reshape(n_groups, 1, G),
             ax_s.reshape(n_groups, 1, G),
             inv_h_s.reshape(n_groups, 1, G),
             coef_fit.reshape(n_groups, G, C).transpose(0, 2, 1),
             w0, c0, c0e, flags, atlas_rows=atlas_rows, atlas_cols=atlas_cols,
             C=C, group=G, interpret=interpret, window_rows=window_rows)
-        atlas = atlas_cf.transpose(1, 2, 0)
     else:
-        atlas0 = jnp.zeros((atlas_rows, atlas_cols, C), dtype=jnp.float32)
+        atlas0 = jnp.zeros((C, atlas_rows, atlas_cols), dtype=jnp.float32)
         per_group = (ay_g2, ax_g2,
                      inv_h_s.reshape(n_groups, G),
                      coef_fit.reshape(n_groups, G, C),
                      w0, c0)
         atlas, _ = jax.lax.scan(body, atlas0, per_group)
+
+    if _stop_after == "kernel":
+        return atlas
 
     # ---- spill pass: particles too sparse for their group window ----------
     # re-run the same windowed machinery with much smaller groups on the
@@ -343,16 +353,15 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             sflags = splat_pallas.group_flags(
                 s_ih.reshape(n_sg, G_SPILL),
                 s_coef_fit.reshape(n_sg, G_SPILL, C), H_MAX)
-            atlas_cf = splat_pallas.accumulate_groups_pallas(
+            atlas = splat_pallas.accumulate_groups_pallas(
                 s_ay.reshape(n_sg, 1, G_SPILL),
                 s_ax.reshape(n_sg, 1, G_SPILL),
                 s_ih.reshape(n_sg, 1, G_SPILL),
                 s_coef_fit.reshape(n_sg, G_SPILL, C).transpose(0, 2, 1),
                 sw0, sc0, sc0, sflags, atlas_rows=atlas_rows,
                 atlas_cols=atlas_cols, C=C, group=G_SPILL,
-                interpret=interpret, atlas0=atlas.transpose(2, 0, 1),
+                interpret=interpret, atlas0=atlas,
                 window_cols=atlas_cols, window_rows=window_rows)
-            atlas = atlas_cf.transpose(1, 2, 0)
         else:
             rows_w = jnp.arange(window_rows, dtype=jnp.float32)
             cols_full = jnp.arange(atlas_cols, dtype=jnp.float32)
@@ -363,10 +372,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                                              w0_g.astype(jnp.float32),
                                              jnp.float32(0.0),
                                              rows_w, cols_full)
-                cur = jax.lax.dynamic_slice(atlas, (w0_g, 0, 0),
-                                            (window_rows, atlas_cols, C))
+                cur = jax.lax.dynamic_slice(atlas, (0, w0_g, 0),
+                                            (C, window_rows, atlas_cols))
                 return jax.lax.dynamic_update_slice(atlas, cur + contrib,
-                                                    (w0_g, 0, 0)), None
+                                                    (0, w0_g, 0)), None
 
             atlas, _ = jax.lax.scan(
                 sbody, atlas,
@@ -404,10 +413,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                     ay_g[None], ax_g[None], ih_g[None], coef_g[None],
                     w0_g.astype(jnp.float32), c0_g.astype(jnp.float32),
                     rows_w, cols_w)
-                cur = jax.lax.dynamic_slice(atlas, (w0_g, c0_g, 0),
-                                            (window_rows, WINDOW_COLS, C))
+                cur = jax.lax.dynamic_slice(atlas, (0, w0_g, c0_g),
+                                            (C, window_rows, WINDOW_COLS))
                 return jax.lax.dynamic_update_slice(atlas, cur + contrib,
-                                                    (w0_g, c0_g, 0)), None
+                                                    (0, w0_g, c0_g)), None
 
             atlas, _ = jax.lax.scan(tbody, atlas,
                                     (t_ay, t_ax, t_ih, t_coef, tw0, tc0))
@@ -420,21 +429,27 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     atlas, dropped = jax.lax.cond(n_spill > 0, do_spill,
                                   lambda a: (a, jnp.int32(0)), atlas)
 
+    if _stop_after == "spill":
+        return atlas, dropped
     return collapse_atlas(atlas, pyramid), dropped
 
 
 def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
-    """Crop levels from the atlas, upsample coarse->fine and sum."""
+    """Crop levels from the channel-major (C, rows, cols) atlas, upsample
+    coarse->fine, sum, and return the image as (res, res, C).
+
+    The whole splat pipeline keeps the atlas channel-major: with C=2..4 in
+    the minor (lane) dim the TPU would waste nearly the whole vector and
+    every kernel-boundary handoff would be a 23MB relayout."""
     row_offs, _, _ = atlas_layout(pyramid)
-    C = atlas.shape[-1]
     levels = []
     for l, res_l in enumerate(pyramid.level_resolutions):
         r0 = row_offs[l]
-        levels.append(atlas[r0:r0 + res_l, COL_PAD:COL_PAD + res_l, :])
+        levels.append(atlas[:, r0:r0 + res_l, COL_PAD:COL_PAD + res_l])
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_linear
+        from .composite import upsample2x_linear_cm
         target = pyramid.level_resolutions[l]
-        up = upsample2x_linear(out)[:target, :target]
+        up = upsample2x_linear_cm(out)[:, :target, :target]
         out = levels[l] + up
-    return out
+    return out.transpose(1, 2, 0)
