@@ -197,7 +197,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     # window anchor per group: min supported row band / column in the group
     window_rows = 96 if presorted_buckets is not None else WINDOW_ROWS
     w0 = (jnp.floor(lo_r / BAND).astype(jnp.int32) * BAND)
-    w0 = jnp.clip(w0, 0, atlas_rows - window_rows)
+    w0 = jnp.clip(w0, 0, ((atlas_rows - window_rows) // BAND) * BAND)
     c0e = jnp.floor(lo_c).astype(jnp.int32)
 
     if engine == "pallas":
@@ -335,7 +335,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         ay2m = jnp.where(valid2, ay2, jnp.inf).min(axis=1)
         ay2m = jnp.where(jnp.isfinite(ay2m), ay2m, float(ROW_PAD))
         sw0 = (jnp.floor((ay2m - FOOT) / BAND).astype(jnp.int32) * BAND)
-        sw0 = jnp.clip(sw0, 0, atlas_rows - window_rows)
+        sw0 = jnp.clip(sw0, 0, ((atlas_rows - window_rows) // BAND) * BAND)
         # spill windows span the full atlas width, so only row-stragglers
         # (pathologically empty 40-row stretches) fall through to tier 3
         sc0 = jnp.zeros_like(sw0)
@@ -400,7 +400,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             t_coef = jnp.stack([o[:T3] for o in ops3[4:]], axis=-1)
             t_coef = jnp.where(valid3[:, None], t_coef, 0.0)
             tw0 = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32) * BAND)
-            tw0 = jnp.clip(tw0, 0, atlas_rows - window_rows)
+            tw0 = jnp.clip(tw0, 0, ((atlas_rows - window_rows) // BAND) * BAND)
             # per-particle column windows always fit (footprint <= 17 px)
             tc0 = jnp.floor(t_ax - FOOT).astype(jnp.int32)
             tc0 = jnp.clip(tc0, 0, atlas_cols - WINDOW_COLS)

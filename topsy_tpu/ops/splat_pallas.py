@@ -58,6 +58,13 @@ WINDOW_COLS = 256   # DMA window: 128-px logical span + 128 for lane alignment
 PROFILE_COLS = 128  # columns over which Q profiles are evaluated (then rolled)
 COL_ALIGN = 128
 SUBGROUPS = 8       # particle groups processed per grid step
+ROW_QUANTUM = 96    # DMA band anchors snap to this; the band is
+                    # window_rows + ROW_QUANTUM + 8 tall and deposits land at
+                    # a dynamic in-band row offset.  Quantizing the anchor
+                    # makes consecutive groups share the band: measured on
+                    # the 2^22 presorted scene this cuts band changes 4x
+                    # (2395 -> 584) and flush+load traffic 2x (942 -> 459 MB
+                    # per frame) vs re-anchoring at every 8-row shift.
 
 # group classification flags (prefetched scalars; computed in splat_atlas)
 FLAG_INACTIVE = 0   # all coefficients zero: skip entirely
@@ -103,15 +110,16 @@ def _profiles_lanes(t2, tiny, lrk, signed: bool):
 
 def _deposit(win_ref, lrk, C: int, foot: float, window_cols: int,
              rows_eval: int, cols_eval: int, rolled: bool, group: int,
-             kind: int, ay, ax, ih, coefs, w0, cbase, c0):
+             kind: int, ay, ax, ih, coefs, w0, cbase, c0, ro):
     """Deposit one group into the window scratch at static eval extents.
 
     ay/ax/ih: (1, G) rows; coefs: list of C (1, G) channel coefficient rows;
-    w0/cbase/c0: scalar anchors (w0 = DMA window row start = the group's
-    8-aligned row anchor, cbase = exact column base, c0 = the aligned DMA
-    window column start the contribution is roll-placed into).  Profiles are
-    evaluated over (rows_eval, cols_eval) only; the size class chosen in
-    splat_atlas guarantees every fitting particle's footprint lies inside.
+    w0/cbase/c0: scalar anchors (w0 = the group's 8-aligned row anchor,
+    cbase = exact column base, c0 = the aligned DMA window column start the
+    contribution is roll-placed into); ro = w0 - band row start (8-aligned
+    dynamic in-band offset of the deposit).  Profiles are evaluated over
+    (rows_eval, cols_eval) only; the size class chosen in splat_atlas
+    guarantees every fitting particle's footprint lies inside.
     """
     o = cbase - c0
     tiny = ih < 0.0
@@ -136,7 +144,8 @@ def _deposit(win_ref, lrk, C: int, foot: float, window_cols: int,
                                 jnp.float32)], axis=1)
             con = pltpu.roll(con, o, 1)
         for c in range(C):
-            win_ref[c, :rows_eval, :] += con[c * rows_eval:(c + 1) * rows_eval]
+            sl = (c, pl.ds(ro, rows_eval), slice(None))
+            win_ref[sl] = win_ref[sl] + con[c * rows_eval:(c + 1) * rows_eval]
 
     # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is far
     # below the reference's own texture discretization error
@@ -171,7 +180,7 @@ def _deposit(win_ref, lrk, C: int, foot: float, window_cols: int,
 
 def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
                 window_cols: int, profile_cols: int, group: int,
-                fl, ay, ax, ih, coefs, w0, cbase, c0):
+                fl, ay, ax, ih, coefs, w0, cbase, c0, ro):
     """Dispatch one group on its combined (kind, size-class) flag."""
     rolled = profile_cols != window_cols
 
@@ -192,22 +201,23 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
             def _(rows_eval=rows_eval, cols_eval=cols_eval, kind=kind):
                 _deposit(win_ref, lrk, C, foot, window_cols, rows_eval,
                          cols_eval, rolled, group, kind, ay, ax, ih, coefs,
-                         w0, cbase, c0)
+                         w0, cbase, c0, ro)
 
 
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
-                 window_cols: int, profile_cols: int, window_rows: int):
+                 window_cols: int, profile_cols: int, window_rows: int,
+                 band_rows: int):
     rolled = profile_cols != window_cols
 
-    def kernel(w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref, ih_ref,
-               coef_ref, atlas_in_ref, atlas_out_ref, win_ref, sem_in,
-               sem_out):
+    def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref,
+               ih_ref, coef_ref, atlas_in_ref, atlas_out_ref, win_ref,
+               sem_in, sem_out):
         del atlas_in_ref  # aliased with atlas_out_ref
         g = pl.program_id(0)
 
         def win_slice(idx):
             return (slice(None),
-                    pl.ds(pl.multiple_of(w0_ref[idx], 8), window_rows),
+                    pl.ds(pl.multiple_of(wb_ref[idx], 8), band_rows),
                     pl.ds(pl.multiple_of(c0_ref[idx], COL_ALIGN),
                           window_cols))
 
@@ -226,12 +236,14 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 
         for s in range(SUBGROUPS):
             ig = g * SUBGROUPS + s
+            wb = pl.multiple_of(wb_ref[ig], 8)
             w0 = pl.multiple_of(w0_ref[ig], 8)
             c0 = pl.multiple_of(c0_ref[ig], COL_ALIGN)
+            ro = pl.multiple_of(w0 - wb, 8)
 
             first = ig == 0
             prev = jnp.maximum(ig - 1, 0)
-            changed = first | (w0 != w0_ref[prev]) | (c0 != c0_ref[prev])
+            changed = first | (wb != wb_ref[prev]) | (c0 != c0_ref[prev])
 
             @pl.when(changed & jnp.logical_not(first))
             def _(prev=prev):
@@ -246,12 +258,12 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             _group_body(win_ref, lrk, C, foot, window_rows, window_cols,
                         profile_cols, group, fl_ref[ig],
                         ay_ref[0, s][None, :], ax_ref[0, s][None, :],
-                        ih_ref[0, s][None, :], coefs, w0, cbase, c0)
+                        ih_ref[0, s][None, :], coefs, w0, cbase, c0, ro)
 
             if s == SUBGROUPS - 1:
                 @pl.when(g == n_steps - 1)
-                def _(w0=w0, c0=c0):
-                    sl = (slice(None), pl.ds(w0, window_rows),
+                def _(wb=wb, c0=c0):
+                    sl = (slice(None), pl.ds(wb, band_rows),
                           pl.ds(c0, window_cols))
                     out = pltpu.make_async_copy(win_ref, atlas_out_ref.at[sl],
                                                 sem_out)
@@ -290,8 +302,19 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
     from .splat_atlas import FOOT
     profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
 
+    # band anchors: quantize the per-group row anchor so consecutive groups
+    # share the (taller) DMA band; the +8 absorbs the 8-alignment of the
+    # clipped bottom edge so ro + window_rows always fits the band
+    band_rows = window_rows + ROW_QUANTUM + 8
+    if band_rows <= atlas_rows:
+        wb_top = ((atlas_rows - band_rows) // 8) * 8
+        wb = jnp.clip((w0 // ROW_QUANTUM) * ROW_QUANTUM, 0, wb_top)
+    else:
+        band_rows = window_rows  # atlas too small to band: 1:1 windows
+        wb = w0
+
     kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
-                          profile_cols, window_rows)
+                          profile_cols, window_rows, band_rows)
 
     # blocks carry SUBGROUPS groups per step
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
@@ -300,22 +323,22 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
     coef_b = coef_g.reshape(n_steps, SUBGROUPS, C, group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(n_steps,),
         in_specs=[
             pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
+                         lambda g, *_: (g, 0, 0)),
             pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
+                         lambda g, *_: (g, 0, 0)),
             pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, w0r, c0r, cer, flr: (g, 0, 0)),
+                         lambda g, *_: (g, 0, 0)),
             pl.BlockSpec((1, SUBGROUPS, C, group),
-                         lambda g, w0r, c0r, cer, flr: (g, 0, 0, 0)),
+                         lambda g, *_: (g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
-            pltpu.VMEM((C, window_rows, window_cols), jnp.float32),
+            pltpu.VMEM((C, band_rows, window_cols), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
@@ -327,10 +350,10 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, atlas_rows, atlas_cols), jnp.float32),
-        input_output_aliases={8: 0},  # atlas input (after 4 scalar + 4 tensor)
+        input_output_aliases={9: 0},  # atlas input (after 5 scalar + 4 tensor)
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(w0, c0, ce, flags, ay_b, ax_b, ih_b, coef_b, atlas0)
+    )(wb, w0, c0, ce, flags, ay_b, ax_b, ih_b, coef_b, atlas0)
 
 
 def group_flags(ih_groups: jnp.ndarray, coef_groups: jnp.ndarray,
