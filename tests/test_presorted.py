@@ -100,6 +100,148 @@ def test_presorted_matches_sorted(snap, rot_deg):
     assert corr > 0.999
 
 
+def test_layout_shuffle_and_column_counts(snap):
+    ps, _ = snap
+    layout = morton.build_presorted(ps)
+    # real slots are the head of each group (pads at the tail), and
+    # real_per_column counts them exactly
+    pg = layout.pad_group
+    n_groups = layout.n_out // pg
+    used = np.zeros(layout.n_out, dtype=bool)
+    used[layout.dst] = True
+    used2 = used.reshape(n_groups, pg)
+    # within every group the used slots are a prefix (pads at the tail)
+    assert np.all(used2[:, :-1] >= used2[:, 1:])
+    assert np.array_equal(layout.real_per_column, used2.sum(axis=0))
+    assert layout.n_real == len(ps)
+    # shuffled: destination slots within a group are not simply in Morton
+    # order (probabilistic but overwhelming for 50k particles)
+    g_id = layout.dst // pg
+    same_group = g_id[1:] == g_id[:-1]
+    assert (np.diff(layout.dst)[same_group] < 0).any()
+
+
+def test_column_slices_cover_exactly(snap):
+    """Summing all 128-wide column-slice renders equals the full presorted
+    render: every particle exactly once."""
+    ps, values = snap
+    layout = morton.build_presorted(ps)
+    ps_p = jnp.asarray(layout.apply(ps, fill=morton.PAD_POS))
+    vals_p = jnp.asarray(layout.apply(values))
+    buckets = jnp.asarray(layout.buckets)
+    resolution, scale = 256, 120.0
+    matrix = jnp.asarray(camera.world_to_clip_matrix(np.eye(3), np.zeros(3),
+                                                     scale), jnp.float32)
+
+    im_full, _ = splat_atlas.splat_atlas(ps_p, vals_p, matrix, resolution,
+                                         scale, presorted_buckets=buckets)
+    im_full = np.asarray(im_full)
+
+    from topsy_tpu.render.sph import _render_block_columns
+    acc = None
+    pg = layout.pad_group
+    for c0 in range(0, pg, 128):
+        im, dropped = _render_block_columns(
+            ps_p, vals_p, buckets, matrix, jnp.float32(scale),
+            jnp.int32(c0), resolution=resolution, width=128,
+            depth_channel=False, pad_group=pg)
+        assert int(dropped) == 0
+        acc = np.asarray(im) if acc is None else acc + np.asarray(im)
+    assert acc[..., 0].sum() == pytest.approx(im_full[..., 0].sum(), rel=1e-4)
+    corr = np.corrcoef(acc[..., 0].ravel(), im_full[..., 0].ravel())[0, 1]
+    assert corr > 0.9999
+
+
+def test_column_slice_is_fair_subsample(snap):
+    """One 128-column slice scaled by the exact real-count factor reproduces
+    the full density map statistically (the within-group shuffle)."""
+    ps, values = snap
+    layout = morton.build_presorted(ps)
+    ps_p = jnp.asarray(layout.apply(ps, fill=morton.PAD_POS))
+    vals_p = jnp.asarray(layout.apply(values))
+    buckets = jnp.asarray(layout.buckets)
+    resolution, scale = 128, 120.0
+    matrix = jnp.asarray(camera.world_to_clip_matrix(np.eye(3), np.zeros(3),
+                                                     scale), jnp.float32)
+    im_full, _ = splat_atlas.splat_atlas(ps_p, vals_p, matrix, resolution,
+                                         scale, presorted_buckets=buckets)
+    im_full = np.asarray(im_full)[..., 0]
+
+    from topsy_tpu.render.sph import _render_block_columns
+    im, _ = _render_block_columns(ps_p, vals_p, buckets, matrix,
+                                  jnp.float32(scale), jnp.int32(0),
+                                  resolution=resolution, width=128,
+                                  depth_channel=False,
+                                  pad_group=layout.pad_group)
+    rendered_real = int(layout.real_per_column[:128].sum())
+    scale_factor = layout.n_real / rendered_real
+    im = np.asarray(im)[..., 0] * scale_factor
+    # exact mass conservation in expectation; this seed/slice within 2%
+    assert im.sum() == pytest.approx(im_full.sum(), rel=0.02)
+    # spatial agreement (subsample noise-limited)
+    corr = np.corrcoef(im.ravel(), im_full.ravel())[0, 1]
+    assert corr > 0.98
+
+
+def test_progression_columns():
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgressionColumns
+    rpc = np.full(512, 100, dtype=np.int64)
+    rpc[300:] = 60  # some groups only 300-deep (pads above)
+    prog = RenderProgressionColumns(rpc, initial_particles=5000)
+    total = int(rpc.sum())
+    assert prog._total == total
+
+    covered = 0
+    prog.start_frame(DrawReason.CHANGE)
+    reason = DrawReason.CHANGE
+    for _ in range(100):
+        block = prog.get_block(0.0)
+        if block is None:
+            if not prog.needs_refine():
+                break
+            assert prog.end_frame_get_scalefactor() == pytest.approx(
+                total / covered)
+            prog.start_frame(DrawReason.REFINE)
+            reason = DrawReason.REFINE
+            continue
+        (c0,), (nc,) = block
+        assert nc % 64 == 0 and 0 <= c0 and c0 + nc <= 512
+        covered += int(rpc[c0:c0 + nc].sum())
+        prog.end_block(0.005)
+    assert covered == total  # exactly-once full coverage
+    assert prog.end_frame_get_scalefactor() == 1.0
+    del reason
+
+
+def test_interactive_render_uses_columns(snap):
+    """A CHANGE render activates the sort-free column path; refining to
+    completion reproduces the EXPORT image."""
+    vis = topsy_tpu.test(30000, render_resolution=128,
+                         canvas_class=OffscreenCanvas)
+    vis.show_status = False
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgressionColumns
+    sph = vis._sph
+    sph.render(DrawReason.CHANGE)
+    assert isinstance(sph.render_progression, RenderProgressionColumns)
+    for _ in range(20):
+        if not sph.needs_refine():
+            break
+        sph.render(DrawReason.REFINE)
+    assert not sph.needs_refine()
+    assert sph.last_render_mass_scale == pytest.approx(1.0)
+    im_cols = np.asarray(sph.get_output_image()).copy()
+
+    sph.render(DrawReason.EXPORT)
+    im_export = np.asarray(sph.get_output_image())
+    assert im_cols[..., 0].sum() == pytest.approx(im_export[..., 0].sum(),
+                                                  rel=1e-4)
+    corr = np.corrcoef(im_cols[..., 0].ravel(),
+                       im_export[..., 0].ravel())[0, 1]
+    assert corr > 0.9999
+
+
 def test_renderer_export_uses_presorted(snap, monkeypatch):
     vis = topsy_tpu.test(20000, render_resolution=128,
                          canvas_class=OffscreenCanvas)

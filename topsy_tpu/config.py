@@ -97,6 +97,14 @@ EXPORT_USE_PRESORTED = True
 # EXPORT renders use the static (smoothing-bucket, Morton) particle order
 # (ops/morton.py), skipping the per-frame sort entirely.
 
+INTERACTIVE_USE_PRESORTED = True
+# Interactive (CHANGE/REFINE) frames also skip the per-frame sort: particles
+# are shuffled within each presorted group, so LOD subsets are rendered as
+# whole-column slices of the (groups x 512) matrix — spatially fair random
+# subsamples with exact photometric scale factors (render/sph.py,
+# progression.RenderProgressionColumns).  Builds the presort order at the
+# first interactive frame (~1 us/particle, one-time per snapshot).
+
 AUTORANGE_PERCENTILES = (1.0, 99.9)
 
 GPU_TIMING_SMOOTH_WINDOW = 10  # frames of running-mean for fps display

@@ -72,12 +72,26 @@ class PresortedLayout:
     the (absolute) smoothing bucket of every output slot, padding included
     (a padding slot carries its run's bucket so its derived level stays in
     the run's atlas region).
+
+    Particles are additionally *shuffled within each pad_group-slot group*
+    (pads stay at the group tail): the set per group — hence spans, window
+    anchors and deposits — is unchanged, but any column slice of the
+    (n_out/pad_group, pad_group) matrix becomes a spatially fair random
+    subsample.  ``real_per_column[c]`` counts the real (non-pad) particles
+    in column c, so LOD mass scale-factors stay exact.
     """
 
     order: np.ndarray    # (n,) int64
     dst: np.ndarray      # (n,) int64
     n_out: int
     buckets: np.ndarray  # (n_out,) int32
+    pad_group: int = 512
+    run_quantum: int = 512       # run padding quantum; >= 4*pad_group lets
+                                 # 128-wide column slices merge into
+                                 # 512-particle groups without straddling a
+                                 # (single-level) run boundary
+    real_per_column: np.ndarray | None = None   # (pad_group,) int64
+    n_real: int = 0
 
     def apply(self, arr: np.ndarray, fill: float = 0.0) -> np.ndarray:
         out = np.full((self.n_out,) + arr.shape[1:], fill, dtype=arr.dtype)
@@ -86,10 +100,13 @@ class PresortedLayout:
 
 
 def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
-                    pad_total: int = 4096) -> PresortedLayout:
-    """Compute the (bucket, Morton) order with runs padded to ``pad_group``
-    and the total padded to a ``pad_total`` multiple."""
+                    pad_total: int = 4096, run_quantum: int = 2048,
+                    seed: int = 1337) -> PresortedLayout:
+    """Compute the (bucket, Morton) order with runs padded to ``run_quantum``
+    and the total padded to a ``pad_total`` multiple, then shuffle within
+    groups (see PresortedLayout)."""
     pos_smooth = np.asarray(pos_smooth)
+    run_quantum = max(run_quantum, pad_group)
     from .. import native
     nat = native.presort_order(pos_smooth, DELTA_OCTAVE)
     if nat is not None:
@@ -109,7 +126,7 @@ def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
     starts = np.concatenate([[0], change])
     ends = np.concatenate([change, [len(b_sorted)]])
     lens = ends - starts
-    padded = ((lens + pad_group - 1) // pad_group) * pad_group
+    padded = ((lens + run_quantum - 1) // run_quantum) * run_quantum
     out_starts = np.concatenate([[0], np.cumsum(padded)[:-1]])
     n_out = int(padded.sum())
     n_out = ((n_out + pad_total - 1) // pad_total) * pad_total
@@ -121,5 +138,25 @@ def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
                                b_sorted[starts]):
         dst[s:e] = os_ + np.arange(e - s)
         buckets_out[os_:os_ + p] = b
+
+    # within-group shuffle of the real slots (pads keep the group tail):
+    # reassign the ascending real slots of each group to its particles in
+    # random order
+    g_id = dst // pad_group
+    rnd = np.random.RandomState(seed).random_sample(len(dst))
+    o2 = np.lexsort((rnd, g_id))
+    dst_shuffled = np.empty_like(dst)
+    dst_shuffled[o2] = dst  # dst is ascending and grouped, o2 is grouped
+    dst = dst_shuffled
+
+    n_groups = n_out // pad_group
+    counts = np.bincount(g_id, minlength=n_groups)
+    counts_sorted = np.sort(counts)
+    real_per_column = (n_groups - np.searchsorted(
+        counts_sorted, np.arange(pad_group), side="right")).astype(np.int64)
+
     return PresortedLayout(order=order, dst=dst, n_out=n_out,
-                           buckets=buckets_out)
+                           buckets=buckets_out, pad_group=pad_group,
+                           run_quantum=run_quantum,
+                           real_per_column=real_per_column,
+                           n_real=len(order))

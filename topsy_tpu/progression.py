@@ -144,6 +144,43 @@ class RenderProgression:
         return None
 
 
+class RenderProgressionColumns(RenderProgression):
+    """Progression over the presorted column space (sort-free interactive LOD).
+
+    The particle store holds the snapshot in the static (smoothing-bucket,
+    Morton) order with particles shuffled within each group
+    (ops/morton.py), so column c of the (n_groups, pad_group) matrix is a
+    spatially fair 1/pad_group subsample.  Blocks are whole-column ranges
+    ([col0], [ncols]); lengths are accounted in *real* particles via the
+    layout's ``real_per_column`` so the photometric scale factor stays
+    exact despite run padding.  Column counts snap up to ``col_quantum``
+    multiples (the renderer's slice-width buckets).
+    """
+
+    def __init__(self, real_per_column: np.ndarray,
+                 initial_particles: int | None = None, col_quantum: int = 128):
+        self._cum_real = np.concatenate(
+            [[0], np.cumsum(np.asarray(real_per_column, dtype=np.int64))])
+        self._ncols = len(real_per_column)
+        self._col_quantum = col_quantum
+        super().__init__(int(self._cum_real[-1]), initial_particles)
+
+    def _block_for_logical_range(self, start: int, length: int):
+        # start always sits on a column boundary: lengths are snapped below
+        c0 = int(np.searchsorted(self._cum_real, start, side="right")) - 1
+        target = min(start + length, self._total)
+        c1 = int(np.searchsorted(self._cum_real, target, side="left"))
+        c1 = min(max(c1, c0 + 1), self._ncols)
+        # snap up to the renderer's slice-width quantum (slice widths are
+        # powers of two >= 64 so each width compiles once)
+        q = self._col_quantum
+        c1 = min(c0 + ((c1 - c0 + q - 1) // q) * q, self._ncols)
+        # the base class set _last_block_len to the requested length before
+        # dispatching here; correct it to the real count the columns cover
+        self._last_block_len = int(self._cum_real[c1] - self._cum_real[c0])
+        return ([c0], [c1 - c0])
+
+
 class RenderProgressionWithCells(RenderProgression):
     """Progression with per-cell fair subsampling and spherical cell culling.
 

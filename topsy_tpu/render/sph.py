@@ -89,6 +89,48 @@ def _render_block_presorted(pos_smooth, values, buckets, cell_ids, cell_table,
                                    presorted_buckets=bks)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "width", "depth_channel",
+                                    "pad_group"))
+def _render_block_columns(pos_smooth, values, buckets, matrix, scale, col0,
+                          *, resolution, width, depth_channel, pad_group):
+    """Render columns [col0, col0+width) of the presorted (groups x
+    pad_group) matrix — the sort-free interactive LOD path.
+
+    Particles are shuffled within groups at presort build (ops/morton.py),
+    so a column slice is a spatially fair subsample; slicing keeps the
+    group-merged Morton locality, so the splat kernel's window machinery
+    works exactly as for full renders.  Each static ``width`` (a power of
+    two >= pad_group/4) compiles once.
+    """
+    n_pad = pos_smooth.shape[0]
+    ngr = n_pad // pad_group
+    # merged splat groups take pad_group/width adjacent original groups;
+    # morton run padding (run_quantum = 4*pad_group) only guarantees
+    # single-level merges up to 4
+    assert pad_group % width == 0 and pad_group // width <= 4, width
+    c0 = jnp.clip(col0, 0, pad_group - width)
+
+    if width == pad_group:
+        def slice_cols(arr):  # full coverage: the slice is the identity
+            return arr
+    else:
+        def slice_cols(arr):
+            tail = arr.shape[1:]
+            a = arr.reshape((ngr, pad_group) + tail)
+            start = (0, c0) + (0,) * len(tail)
+            return jax.lax.dynamic_slice(
+                a, start, (ngr, width) + tail).reshape(
+                (ngr * width,) + tail)
+
+    # sliced groups merge up to 4 adjacent original groups (Morton-local);
+    # run padding to 4*pad_group keeps every merged group single-level
+    return splat_atlas.splat_atlas(slice_cols(pos_smooth),
+                                   slice_cols(values), matrix, resolution,
+                                   scale, depth_channel=depth_channel,
+                                   presorted_buckets=slice_cols(buckets))
+
+
 def default_backend() -> str:
     return "atlas"
 
@@ -186,6 +228,7 @@ class SPHRenderer:
         if draw_reason == DrawReason.PRESENTATION_CHANGE:
             return
 
+        columns = self._maybe_activate_columns(draw_reason)
         prog = self._render_progression
         if draw_reason != DrawReason.REFINE:
             prog.select_sphere(-np.asarray(self.position_offset), self.scale * 1.2)
@@ -221,6 +264,10 @@ class SPHRenderer:
             starts, lens = block
             for s, l in zip(starts, lens):
                 if l <= 0:
+                    continue
+                if columns:
+                    first_block = self._render_columns_range(
+                        matrix, scale, s, l, first_block, sync_blocks)
                     continue
                 bucket = bucket_size(l, self._store.n_pad)
                 # oversized blocks are rendered in bucket-sized pieces
@@ -265,6 +312,67 @@ class SPHRenderer:
         if getattr(self._store, "_presorted_layout", None) is not None:
             return True
         return getattr(self, "_export_renders", 0) >= 1
+
+    # -- sort-free interactive LOD over presorted columns -----------------------
+
+    def _maybe_activate_columns(self, draw_reason) -> bool:
+        """Switch the progression to sort-free column LOD when possible.
+
+        The presorted (bucket, Morton) order with within-group shuffling
+        makes any column slice of the (groups x 512) matrix a spatially
+        fair subsample (ops/morton.py), so interactive frames need no
+        per-frame sort: they render whole-column ranges through the same
+        fast path as EXPORT.  Activation is once per renderer; a REFINE
+        frame never switches mid-progression.
+        """
+        from ..progression import RenderProgressionColumns
+        if isinstance(self._render_progression, RenderProgressionColumns):
+            return True
+        if draw_reason in (DrawReason.REFINE, DrawReason.EXPORT):
+            return False
+        if self._backend != "atlas" or not config.INTERACTIVE_USE_PRESORTED:
+            return False
+        store = self._store
+        store.ensure_presorted()
+        layout = store.presorted_layout
+        if (layout.real_per_column is None
+                or layout.run_quantum < 4 * layout.pad_group):
+            return False  # layout without safe column slicing
+        self._render_progression = RenderProgressionColumns(
+            layout.real_per_column)
+        return True
+
+    def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
+                              first_block: bool, sync_blocks: bool) -> bool:
+        """Render columns [col0, col0+ncols), decomposed into power-of-two
+        slice widths (each width compiles once)."""
+        store = self._store
+        layout = store.presorted_layout
+        pad_group = layout.pad_group
+        off = 0
+        for width in (512, 256, 128):
+            while ncols - off >= width:
+                with self._render_timer:
+                    im, dropped = _render_block_columns(
+                        store.pos_smooth_presorted,
+                        store.presorted_values_for(self._buffer_name),
+                        store.presorted_buckets, matrix, scale,
+                        jnp.int32(col0 + off),
+                        resolution=self._resolution, width=width,
+                        depth_channel=self._depth_channel,
+                        pad_group=pad_group)
+                    self._dropped_splats = dropped
+                    if first_block:
+                        self._image = im
+                        first_block = False
+                    else:
+                        self._image = self._image + im
+                    if sync_blocks:
+                        jax.block_until_ready(self._image)
+                off += width
+        if off != ncols:  # progression emits 64-column multiples
+            raise AssertionError(f"unrenderable column range {ncols}")
+        return first_block
 
     def _render_presorted(self, matrix, scale, first_block: bool):
         store = self._store

@@ -135,6 +135,11 @@ class ParticleStore:
         logger.info("Built presorted (bucket, Morton) order: %d -> %d slots",
                     self.n, self.n_presorted)
 
+    @property
+    def presorted_layout(self):
+        """The cached PresortedLayout (call ensure_presorted() first)."""
+        return self._presorted_layout
+
     def presorted_values_for(self, buffer_name: str):
         """Presorted copy of a channel buffer, cached per values_version."""
         self.ensure_presorted()
