@@ -39,17 +39,20 @@ def hemisphere_kernel(q: jnp.ndarray) -> jnp.ndarray:
 
 def zsplat_scatter(pos_smooth, values, matrix, resolution, scale,
                    density_cut=0.0, extra_mask=None,
-                   pyramid: PyramidSpec | None = None):
+                   pyramid: PyramidSpec | None = None, level_override=None):
     """(N,4) x (N,1 quantity) -> (res, res, 2) [value, depth]; depth 0 = empty.
 
     ``values[:, 0]`` must be the particle mass (for the density cut) and
     ``values[:, 1]`` the displayed quantity value, matching the reference's
     mass_and_quantity buffer driving vertex_depth_with_cut.
+    ``level_override`` substitutes per-splat pyramid levels (used by tests
+    to compare bit-for-bit against the bucket-derived atlas path).
     """
     if pyramid is None:
         pyramid = default_pyramid(resolution)
     cx, cy, z01, h_px, visible = project(pos_smooth, matrix, resolution, scale)
-    lev, h_eff, _tiny = assign_levels(h_px, pyramid.num_levels)
+    lev, h_eff, _tiny = assign_levels(h_px, pyramid.num_levels,
+                                      lev=level_override)
     lev_scale = jnp.exp2(lev.astype(jnp.float32))
     cx_l = (cx + 0.5) / lev_scale - 0.5
     cy_l = (cy + 0.5) / lev_scale - 0.5

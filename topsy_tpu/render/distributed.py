@@ -31,6 +31,12 @@ class DistributedSPHRenderer(SPHRenderer):
         self._splatter = None
         self._splatter_version = None
 
+    def _maybe_activate_columns(self, draw_reason) -> bool:
+        # the single-device column-LOD path would bypass the mesh: keep the
+        # sharded block loop (sharding the column slices per-device slab +
+        # psum is the planned interactive fast path here)
+        return False
+
     def _use_presorted(self) -> bool:
         # the sharded splatter owns its own presorted slabs (contiguous
         # Morton slices per device), not the store's single-device copies

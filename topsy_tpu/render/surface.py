@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..drawreason import DrawReason
-from ..ops import zsplat
+from ..ops import zsplat, zsplat_atlas
 from .sph import SPHRenderer
 from .store import ParticleStore
 
@@ -34,6 +34,35 @@ def _render_block_surface(pos_smooth, values, cell_ids, cell_table, matrix,
     mask = (idx >= start) & (idx < start + count) & cell_table[ids]
     return zsplat.zsplat_scatter(ps, vals, matrix, resolution, scale,
                                  density_cut=density_cut, extra_mask=mask)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "width", "pad_group"))
+def _render_block_columns_surface(pos_smooth, values, buckets, matrix, scale,
+                                  density_cut, col0, *, resolution, width,
+                                  pad_group):
+    """Column-slice z-buffered render (sort-free LOD, as sph.py's columns
+    path) through the Pallas max-composite kernel (ops/zsplat_atlas.py)."""
+    n_pad = pos_smooth.shape[0]
+    ngr = n_pad // pad_group
+    assert pad_group % width == 0 and pad_group // width <= 4, width
+    c0 = jnp.clip(col0, 0, pad_group - width)
+
+    if width == pad_group:
+        def slice_cols(arr):
+            return arr
+    else:
+        def slice_cols(arr):
+            tail = arr.shape[1:]
+            a = arr.reshape((ngr, pad_group) + tail)
+            start = (0, c0) + (0,) * len(tail)
+            return jax.lax.dynamic_slice(
+                a, start, (ngr, width) + tail).reshape(
+                (ngr * width,) + tail)
+
+    return zsplat_atlas.zsplat_atlas(
+        slice_cols(pos_smooth), slice_cols(values), matrix, resolution,
+        scale, slice_cols(buckets), density_cut=density_cut)
 
 
 @jax.jit
@@ -82,6 +111,12 @@ class SurfaceSPHRenderer(SPHRenderer):
     def render(self, draw_reason=DrawReason.CHANGE):
         if draw_reason == DrawReason.PRESENTATION_CHANGE:
             return
+        # the scatter-max fallback is ~3 orders of magnitude slower than the
+        # Pallas kernel, so the presorted column path is worth building even
+        # for a one-shot EXPORT (unlike sph.py's lazy policy)
+        columns = self._maybe_activate_columns(
+            DrawReason.CHANGE if draw_reason == DrawReason.EXPORT
+            else draw_reason)
         prog = self._render_progression
         if draw_reason != DrawReason.REFINE:
             prog.select_sphere(-np.asarray(self.position_offset), self.scale * 1.2)
@@ -101,6 +136,10 @@ class SurfaceSPHRenderer(SPHRenderer):
             starts, lens = block
             for s, l in zip(starts, lens):
                 if l <= 0:
+                    continue
+                if columns:
+                    first_block = self._render_columns_surface(
+                        matrix, scale, cut, s, l, first_block, sync_blocks)
                     continue
                 bucket = bucket_size(l, self._store.n_pad)
                 for piece in range(0, l, bucket):
@@ -130,6 +169,35 @@ class SurfaceSPHRenderer(SPHRenderer):
         mean = self._render_timer.running_mean_duration
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
         self.has_rendered = True
+
+    def _render_columns_surface(self, matrix, scale, cut, col0: int,
+                                ncols: int, first_block: bool,
+                                sync_blocks: bool) -> bool:
+        store = self._store
+        layout = store.presorted_layout
+        pad_group = layout.pad_group
+        off = 0
+        for width in (512, 256, 128):
+            while ncols - off >= width:
+                with self._render_timer:
+                    im, dropped = _render_block_columns_surface(
+                        store.pos_smooth_presorted,
+                        store.presorted_values_for(self._buffer_name),
+                        store.presorted_buckets, matrix, scale, cut,
+                        jnp.int32(col0 + off), resolution=self._resolution,
+                        width=width, pad_group=pad_group)
+                    self._dropped_splats = dropped
+                    if first_block:
+                        self._image = im
+                        first_block = False
+                    else:
+                        self._image = _max_composite(self._image, im)
+                    if sync_blocks:
+                        jax.block_until_ready(self._image)
+                off += width
+        if off != ncols:
+            raise AssertionError(f"unrenderable column range {ncols}")
+        return first_block
 
     def get_image(self) -> np.ndarray:
         """No photometric rescaling (reference: sph.py:655-656)."""
