@@ -86,6 +86,34 @@ def test_presorted_multichip_matches_sorted(data):
     assert corr > 0.999
 
 
+def test_columns_multichip_cover_and_scale(data):
+    """Sort-free column LOD over the mesh: summed column slices equal the
+    full presorted render; one slice scaled by the exact real-count factor
+    is a fair subsample."""
+    ps, vals, matrix = data
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES)
+    im_full, d0 = sp.render_presorted(matrix, SCALE)
+    im_full = np.asarray(im_full)
+    assert int(d0) == 0
+    layout = sp.presorted_layout
+    pg = layout.pad_group
+
+    acc = None
+    for c0 in range(0, pg, 128):
+        im, d = sp.render_columns(matrix, SCALE, c0, 128)
+        assert int(d) == 0
+        acc = np.asarray(im) if acc is None else acc + np.asarray(im)
+    assert acc[..., 0].sum() == pytest.approx(im_full[..., 0].sum(), rel=1e-4)
+    corr = np.corrcoef(acc[..., 0].ravel(), im_full[..., 0].ravel())[0, 1]
+    assert corr > 0.9999
+
+    im1, _ = sp.render_columns(matrix, SCALE, 0, 128)
+    rendered_real = int(layout.real_per_column[:128].sum())
+    scaled = np.asarray(im1)[..., 0] * (layout.n_real / rendered_real)
+    assert scaled.sum() == pytest.approx(im_full[..., 0].sum(), rel=0.05)
+
+
 def test_presorted_multichip_shard_invariance(data):
     """Presorted output is invariant to the mesh size."""
     ps, vals, matrix = data

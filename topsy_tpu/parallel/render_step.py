@@ -126,6 +126,7 @@ class DistributedSplatter:
                                if cell_ids is not None else None)
         self._presorted = None
         self._presorted_steps: dict[int, object] = {}
+        self._column_steps: dict[int, object] = {}
 
         sharding = NamedSharding(mesh, P(self.axis))
         self.pos_smooth = jax.device_put(
@@ -212,6 +213,7 @@ class DistributedSplatter:
                     else np.zeros(self.n, dtype=np.int32))
         self._presorted = dict(
             local_n=ln,
+            layout=layout,
             pos=slab(layout.apply(self._host_pos_smooth,
                                   fill=morton.PAD_POS)),
             values=slab(layout.apply(self._host_values)),
@@ -248,6 +250,88 @@ class DistributedSplatter:
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
+
+    @property
+    def presorted_layout(self):
+        """The PresortedLayout backing the slabs (after ensure_presorted)."""
+        self.ensure_presorted()
+        return self._presorted["layout"] if self._presorted else None
+
+    def _build_columns_step(self, width: int):
+        """shard_map step rendering columns [col0, col0+width) of every
+        device slab's (groups x pad_group) matrix, psum-reduced — the
+        multi-chip analogue of render/sph.py's sort-free column LOD (the
+        per-group shuffle is global, so the union over devices of a column
+        range is the same fair subsample)."""
+        axis = self.axis
+        resolution = self.resolution
+        depth_channel = self._depth_channel
+        local_n = self._presorted["local_n"]
+        pad_group = self._presorted["layout"].pad_group
+        ngr = local_n // pad_group
+        C = int(self._host_values.shape[-1])
+
+        def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
+                         col0):
+            pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
+            c0 = jnp.clip(col0, 0, pad_group - width)
+
+            def slice_cols(arr):
+                tail = arr.shape[1:]
+                a = arr.reshape((ngr, pad_group) + tail)
+                start = (0, c0) + (0,) * len(tail)
+                return jax.lax.dynamic_slice(
+                    a, start, (ngr, width) + tail).reshape(
+                    (ngr * width,) + tail)
+
+            if width == pad_group:
+                p, v, b, cid = pos, vals, buckets, ids
+            else:
+                p, v, b, cid = (slice_cols(pos), slice_cols(vals),
+                                slice_cols(buckets), slice_cols(ids))
+            mask = cell_table[cid]
+            im, dropped = splat_atlas.splat_atlas(
+                p, v, matrix, resolution, scale, extra_mask=mask,
+                depth_channel=depth_channel, presorted_buckets=b)
+            return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
+
+        shard_fn = jax.shard_map(
+            local_render, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                      P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shard_fn)
+
+    def render_columns(self, matrix, scale, col0: int, ncols: int,
+                       cell_mask=None):
+        """Render whole columns [col0, col0+ncols) across the mesh,
+        decomposed into power-of-two slice widths; returns (image, dropped).
+        """
+        self.ensure_presorted()
+        ps = self._presorted
+        pad_group = ps["layout"].pad_group
+        table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        total = None
+        dropped = jnp.int32(0)
+        off = 0
+        for width in (512, 256, 128):
+            while ncols - off >= width:
+                step = self._column_steps.get(width)
+                if step is None:
+                    step = self._column_steps[width] = \
+                        self._build_columns_step(width)
+                im, d = step(ps["pos"], ps["values"], ps["buckets"],
+                             ps["cell_ids"], table,
+                             jnp.asarray(matrix, jnp.float32),
+                             jnp.float32(scale), jnp.int32(col0 + off))
+                total = im if total is None else total + im
+                dropped = dropped + d
+                off += width
+        if off != ncols:
+            raise AssertionError(f"unrenderable column range {ncols}")
+        del pad_group
+        return total, dropped
 
     def render_presorted(self, matrix, scale, cell_mask=None):
         """Full-coverage sort-free render of all particles across the mesh;

@@ -32,10 +32,43 @@ class DistributedSPHRenderer(SPHRenderer):
         self._splatter_version = None
 
     def _maybe_activate_columns(self, draw_reason) -> bool:
-        # the single-device column-LOD path would bypass the mesh: keep the
-        # sharded block loop (sharding the column slices per-device slab +
-        # psum is the planned interactive fast path here)
-        return False
+        """Sort-free column LOD over the mesh: each chip renders the column
+        range of its Morton slab and the partial framebuffers psum (the
+        per-group shuffle is global, so the union is the same fair
+        subsample as single-chip)."""
+        from ..drawreason import DrawReason
+        from ..progression import RenderProgressionColumns
+        if isinstance(self._render_progression, RenderProgressionColumns):
+            return True
+        if draw_reason in (DrawReason.REFINE, DrawReason.EXPORT):
+            return False
+        if self._backend != "atlas" or not config.INTERACTIVE_USE_PRESORTED:
+            return False
+        splatter = self._get_splatter()
+        if not splatter.supports_presorted():
+            return False
+        layout = splatter.presorted_layout
+        if layout is None or layout.real_per_column is None:
+            return False
+        self._render_progression = RenderProgressionColumns(
+            layout.real_per_column)
+        return True
+
+    def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
+                              first_block: bool, sync_blocks: bool) -> bool:
+        splatter = self._get_splatter()
+        with self._render_timer:
+            im, dropped = splatter.render_columns(
+                np.asarray(matrix), float(scale), col0, ncols)
+            self._dropped_splats = dropped
+            if first_block:
+                self._image = im
+                first_block = False
+            else:
+                self._image = self._image + im
+            if sync_blocks:
+                jax.block_until_ready(self._image)
+        return first_block
 
     def _use_presorted(self) -> bool:
         # the sharded splatter owns its own presorted slabs (contiguous
