@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops import splat_atlas
-from .mesh import PARTICLE_AXIS
+
 
 
 def strided_shard(arr: np.ndarray, n_devices: int) -> np.ndarray:
@@ -310,7 +310,6 @@ class DistributedSplatter:
         """
         self.ensure_presorted()
         ps = self._presorted
-        pad_group = ps["layout"].pad_group
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
         total = None
         dropped = jnp.int32(0)
@@ -330,7 +329,6 @@ class DistributedSplatter:
                 off += width
         if off != ncols:
             raise AssertionError(f"unrenderable column range {ncols}")
-        del pad_group
         return total, dropped
 
     def render_presorted(self, matrix, scale, cell_mask=None):
