@@ -122,60 +122,73 @@ def _deposit(win_ref, lrk, C: int, foot: float, window_cols: int,
     guarantees every fitting particle's footprint lies inside.
     """
     o = cbase - c0
-    tiny = ih < 0.0
+    tiny0 = ih < 0.0
     ih2 = ih * ih
+    rank = lrk.rank
 
-    rows = jax.lax.broadcasted_iota(jnp.int32, (rows_eval, group), 0
-                                    ).astype(jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (cols_eval, group), 0
                                     ).astype(jnp.float32)
-    dy = w0.astype(jnp.float32) + rows - ay       # (R, G)
     dx = cbase.astype(jnp.float32) + cols - ax    # (Wq, G)
 
-    def accum(pc_all, q):
-        # one channel-stacked matmul: (C*R, rank*G) @ (Wq, rank*G)^T; placed
-        # with one roll and accumulated per channel via static row slices
+    # row segmentation keeps each branch's live temporaries (the channel-
+    # stacked (C*S, rank*G) matmul operand) bounded: past ~192 stacked rows
+    # Mosaic's scoped-vmem estimate stops the grid pipelining and every
+    # step serializes (measured ~4 us/group at C=3 with 96-row extents)
+    seg = max(8, ((192 // C) // 8) * 8)
+
+    def accum_seg(pc_all, q, r0, s_rows):
+        # (C*S, rank*G) @ (Wq, rank*G)^T; placed with one roll and
+        # accumulated per channel via static row slices
         con = jax.lax.dot_general(
             pc_all, q, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
         if rolled:
             con = jnp.concatenate(
-                [con, jnp.zeros((C * rows_eval, window_cols - cols_eval),
+                [con, jnp.zeros((C * s_rows, window_cols - cols_eval),
                                 jnp.float32)], axis=1)
             con = pltpu.roll(con, o, 1)
         for c in range(C):
-            sl = (c, pl.ds(ro, rows_eval), slice(None))
-            win_ref[sl] = win_ref[sl] + con[c * rows_eval:(c + 1) * rows_eval]
+            sl = (c, pl.ds(pl.multiple_of(ro + r0, 8), s_rows), slice(None))
+            win_ref[sl] = win_ref[sl] + con[c * s_rows:(c + 1) * s_rows]
 
     # bf16 inputs, f32 accumulation: profile quantization (~0.2%) is far
     # below the reference's own texture discretization error
 
-    if kind == FLAG_ALL_TINY:
-        # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
-        Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
-        Qh = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
-        pc = jnp.concatenate([(Ph * coefs[c]) for c in range(C)], axis=0)
-        accum(pc.astype(jnp.bfloat16), Qh)
-        return
-
     masked = kind == FLAG_MASKED
-    if kind == FLAG_POLY:
-        tiny = None  # pure-polynomial: skip the CIC hat/select work
-    ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
-    tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
-    rank = lrk.rank
-    P = _profiles_lanes(ty2, tiny, lrk, signed=True)
-    Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
-    if masked:
-        # oversize splats (support beyond the footprint window): truncate
-        # at the footprint, compensated by the normalization table
-        ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
-        xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
-        P = P * jnp.tile(ymask, (1, rank))
-        Q = Q * jnp.tile(xmask, (1, rank))
-    pc = jnp.concatenate(
-        [P * jnp.tile(coefs[c], (1, rank)) for c in range(C)], axis=0)
-    accum(pc.astype(jnp.bfloat16), Q.astype(jnp.bfloat16))
+    tiny = None if kind == FLAG_POLY else tiny0
+    if kind != FLAG_ALL_TINY:
+        tx2 = jnp.minimum(dx * dx * ih2, SUPPORT2)
+        Q = _profiles_lanes(tx2, tiny, lrk, signed=False)
+        if masked:
+            xmask = ((dx > -foot) & (dx <= foot)).astype(jnp.float32)
+            Q = Q * jnp.tile(xmask, (1, rank))
+        Qb = Q.astype(jnp.bfloat16)
+    else:
+        Qb = jnp.maximum(0.0, 1.0 - jnp.abs(dx)).astype(jnp.bfloat16)
+
+    for r0 in range(0, rows_eval, seg):
+        s_rows = min(seg, rows_eval - r0)
+        rows = jax.lax.broadcasted_iota(jnp.int32, (s_rows, group), 0
+                                        ).astype(jnp.float32)
+        dy = (w0 + r0).astype(jnp.float32) + rows - ay       # (S, G)
+
+        if kind == FLAG_ALL_TINY:
+            # rank-1 cloud-in-cell path: hat profiles, G-wide contraction
+            Ph = jnp.maximum(0.0, 1.0 - jnp.abs(dy))
+            pc = jnp.concatenate([(Ph * coefs[c]) for c in range(C)], axis=0)
+            accum_seg(pc.astype(jnp.bfloat16), Qb, r0, s_rows)
+            continue
+
+        ty2 = jnp.minimum(dy * dy * ih2, SUPPORT2)
+        P = _profiles_lanes(ty2, tiny, lrk, signed=True)
+        if masked:
+            # oversize splats (support beyond the footprint window):
+            # truncate at the footprint, compensated by the norm table
+            ymask = ((dy > -foot) & (dy <= foot)).astype(jnp.float32)
+            P = P * jnp.tile(ymask, (1, rank))
+        pc = jnp.concatenate(
+            [P * jnp.tile(coefs[c], (1, rank)) for c in range(C)], axis=0)
+        accum_seg(pc.astype(jnp.bfloat16), Qb, r0, s_rows)
 
 
 def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
@@ -210,9 +223,13 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
     rolled = profile_cols != window_cols
 
     def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref,
-               ih_ref, coef_ref, atlas_in_ref, atlas_out_ref, win_ref,
-               sem_in, sem_out):
-        del atlas_in_ref  # aliased with atlas_out_ref
+               ih_ref, *rest):
+        # rest: C per-channel coef refs (separate (1, S, G) blocks: a fused
+        # (1, S, C, G) block's (C, G) inner tile costs ~2.8 us/group of
+        # relayout at C >= 3, measured), atlas in/out, scratch, semaphores
+        coef_refs = rest[:C]
+        atlas_out_ref = rest[C + 1]
+        win_ref, sem_in, sem_out = rest[C + 2:C + 5]
         g = pl.program_id(0)
 
         def win_slice(idx):
@@ -254,7 +271,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                 load(ig)
 
             cbase = ce_ref[ig] if rolled else c0
-            coefs = [coef_ref[0, s, c][None, :] for c in range(C)]
+            coefs = [cref[0, s][None, :] for cref in coef_refs]
             _group_body(win_ref, lrk, C, foot, window_rows, window_cols,
                         profile_cols, group, fl_ref[ig],
                         ay_ref[0, s][None, :], ax_ref[0, s][None, :],
@@ -304,38 +321,38 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
 
     # band anchors: quantize the per-group row anchor so consecutive groups
     # share the (taller) DMA band; the +8 absorbs the 8-alignment of the
-    # clipped bottom edge so ro + window_rows always fits the band
-    band_rows = window_rows + ROW_QUANTUM + 8
-    if band_rows <= atlas_rows:
+    # clipped bottom edge so ro + window_rows always fits the band.  The
+    # window scratch must stay under ~512KB: beyond it Mosaic stops
+    # pipelining the grid and every step serializes (measured: a 614KB
+    # scratch at C=3 cost ~4 us/group even with the deposit disabled)
+    max_band = (512 * 1024 // (C * window_cols * 4)) // 8 * 8
+    qa = min(ROW_QUANTUM, max_band - window_rows - 8)
+    qa = (qa // 8) * 8
+    band_rows = window_rows + qa + 8
+    if qa >= 8 and band_rows <= atlas_rows:
         wb_top = ((atlas_rows - band_rows) // 8) * 8
-        wb = jnp.clip((w0 // ROW_QUANTUM) * ROW_QUANTUM, 0, wb_top)
+        wb = jnp.clip((w0 // qa) * qa, 0, wb_top)
     else:
-        band_rows = window_rows  # atlas too small to band: 1:1 windows
+        band_rows = window_rows  # no VMEM headroom (or tiny atlas): 1:1
         wb = w0
 
     kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
                           profile_cols, window_rows, band_rows)
 
-    # blocks carry SUBGROUPS groups per step
+    # blocks carry SUBGROUPS groups per step; each coef channel rides its
+    # own (1, S, G) block (a combined (1, S, C, G) block's (C, G) inner
+    # tile triggers a measured ~2.8 us/group Mosaic relayout at C >= 3)
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
     ax_b = ax_g.reshape(n_steps, SUBGROUPS, group)
     ih_b = ih_g.reshape(n_steps, SUBGROUPS, group)
-    coef_b = coef_g.reshape(n_steps, SUBGROUPS, C, group)
+    coef_bs = [coef_g[:, c, :].reshape(n_steps, SUBGROUPS, group)
+               for c in range(C)]
 
+    row_spec = pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group),
-                         lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, C, group),
-                         lambda g, *_: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=[row_spec] * (3 + C) + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((C, band_rows, window_cols), jnp.float32),
@@ -350,10 +367,11 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, atlas_rows, atlas_cols), jnp.float32),
-        input_output_aliases={9: 0},  # atlas input (after 5 scalar + 4 tensor)
+        # atlas input follows 5 scalar-prefetch + (3 + C) tensor inputs
+        input_output_aliases={8 + C: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(wb, w0, c0, ce, flags, ay_b, ax_b, ih_b, coef_b, atlas0)
+    )(wb, w0, c0, ce, flags, ay_b, ax_b, ih_b, *coef_bs, atlas0)
 
 
 def group_flags(ih_groups: jnp.ndarray, coef_groups: jnp.ndarray,

@@ -218,10 +218,15 @@ def accumulate_max_groups_pallas(ay_g, ax_g, ih_g, pay_g, w0, c0, ce, flags,
     n_steps = n_groups // SUBGROUPS
     profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
 
-    band_rows = window_rows + ROW_QUANTUM + 8
-    if band_rows <= atlas_rows:
+    # cap the scratch under ~512KB (see splat_pallas: larger scratches
+    # serialize the Mosaic grid pipeline)
+    max_band = (512 * 1024 // (2 * window_cols * 4)) // 8 * 8
+    qa = min(ROW_QUANTUM, max_band - window_rows - 8)
+    qa = (qa // 8) * 8
+    band_rows = window_rows + qa + 8
+    if qa >= 8 and band_rows <= atlas_rows:
         wb_top = ((atlas_rows - band_rows) // 8) * 8
-        wb = jnp.clip((w0 // ROW_QUANTUM) * ROW_QUANTUM, 0, wb_top)
+        wb = jnp.clip((w0 // qa) * qa, 0, wb_top)
     else:
         band_rows = window_rows
         wb = w0
