@@ -86,10 +86,10 @@ class PresortedLayout:
     n_out: int
     buckets: np.ndarray  # (n_out,) int32
     pad_group: int = 512
-    run_quantum: int = 512       # run padding quantum; >= 4*pad_group lets
-                                 # 128-wide column slices merge into
-                                 # 512-particle groups without straddling a
-                                 # (single-level) run boundary
+    run_quantum: int = 512       # run padding quantum; k*pad_group lets
+                                 # (pad_group/k)-wide column slices merge
+                                 # into pad_group-particle groups without
+                                 # straddling a (single-level) run boundary
     real_per_column: np.ndarray | None = None   # (pad_group,) int64
     n_real: int = 0
 
@@ -99,13 +99,42 @@ class PresortedLayout:
         return out
 
 
+def min_slice_width(layout: "PresortedLayout", floor: int = 64) -> int:
+    """Smallest safe column-slice width for a layout.
+
+    Slicing ``width`` columns merges ``pad_group/width`` adjacent groups
+    into one splat group; the merged group stays single-level only if no
+    width-aligned window of that many groups straddles a run boundary,
+    which run padding to ``k*pad_group`` guarantees for merges up to the
+    largest power of two <= k.
+    """
+    pg = layout.pad_group
+    if layout.run_quantum % pg:
+        return pg
+    ratio = layout.run_quantum // pg
+    p = 1
+    while p * 2 <= ratio:
+        p *= 2
+    return max(pg // p, floor)
+
+
 def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,
-                    pad_total: int = 4096, run_quantum: int = 2048,
+                    pad_total: int = 4096, run_quantum: int | None = None,
                     seed: int = 1337) -> PresortedLayout:
     """Compute the (bucket, Morton) order with runs padded to ``run_quantum``
     and the total padded to a ``pad_total`` multiple, then shuffle within
-    groups (see PresortedLayout)."""
+    groups (see PresortedLayout).
+
+    The default run quantum is scale-adaptive: large snapshots pay for
+    8*pad_group padding (enabling 64-wide interactive column slices, i.e. a
+    1/8-coverage LOD floor) because the per-run waste is negligible there;
+    small snapshots keep 4*pad_group (1/4 floor) where the same waste would
+    cost several percent of full-render throughput.
+    """
     pos_smooth = np.asarray(pos_smooth)
+    if run_quantum is None:
+        run_quantum = 8 * pad_group if len(pos_smooth) >= (1 << 23) \
+            else 4 * pad_group
     run_quantum = max(run_quantum, pad_group)
     from .. import native
     nat = native.presort_order(pos_smooth, DELTA_OCTAVE)

@@ -64,8 +64,7 @@ def atlas_layout(pyramid: PyramidSpec):
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
                 depth_channel=False, engine: str | None = None,
-                presorted_buckets=None, group_size: int | None = None,
-                _stop_after: str | None = None):
+                presorted_buckets=None, _stop_after: str | None = None):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
     ``engine``: 'pallas' (fused TPU kernel), 'scan' (pure-XLA fallback), or
@@ -99,12 +98,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     n = pos_smooth.shape[0]
     from .splat_pallas import SUBGROUPS
     # group size adapts to the scene size: sparse scenes need smaller groups
-    # so a group's (band, column) span still fits its accumulation window.
-    # ``group_size`` overrides (the column-LOD path aligns groups to its
-    # slice width so no group straddles a presorted run boundary).
-    if group_size is not None:
-        G = group_size
-    elif n >= 1 << 18:
+    # so a group's (band, column) span still fits its accumulation window
+    # (the column-LOD path relies on this n-based choice plus the layout's
+    # run-quantum alignment to keep merged slice groups single-level)
+    if n >= 1 << 18:
         G = GROUP
     elif n >= 1 << 14:
         G = 128

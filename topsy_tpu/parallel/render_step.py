@@ -308,13 +308,20 @@ class DistributedSplatter:
         """Render whole columns [col0, col0+ncols) across the mesh,
         decomposed into power-of-two slice widths; returns (image, dropped).
         """
+        from ..ops.morton import min_slice_width
         self.ensure_presorted()
         ps = self._presorted
+        layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
         total = None
         dropped = jnp.int32(0)
         off = 0
-        for width in (512, 256, 128):
+        widths = []
+        w = layout.pad_group
+        while w >= min_slice_width(layout):
+            widths.append(w)
+            w //= 2
+        for width in widths:
             while ncols - off >= width:
                 step = self._column_steps.get(width)
                 if step is None:

@@ -144,7 +144,59 @@ class RenderProgression:
         return None
 
 
-class RenderProgressionColumns(RenderProgression):
+class CellSelectionMixin:
+    """Spherical cell selection for geometric culling (reference:
+    progressive_render.py:207-220).  Progressions mix this in so the
+    renderer's cell-mask table, the ``/Ngf`` status geometry factor and the
+    EXPORT chunk sizing all see the current selection."""
+
+    def _init_cell_selection(self, cell_layout: CellLayout | None):
+        self._cell_layout = cell_layout
+        n = cell_layout.get_num_cells() if cell_layout is not None else 1
+        self._selected_cells = np.arange(n)
+        self._selection_mask = np.ones(n, dtype=bool)
+        self._selection_generation = 0
+
+    @property
+    def cell_layout(self) -> CellLayout | None:
+        return self._cell_layout
+
+    def select_all(self):
+        if self._cell_layout is None:
+            return
+        self._selected_cells = np.arange(self._cell_layout.get_num_cells())
+        self._refresh_selection_mask()
+
+    def select_sphere(self, cen, radius):
+        if self._cell_layout is None:
+            return
+        self._selected_cells = self._cell_layout.cells_in_sphere(cen, radius)
+        self._refresh_selection_mask()
+
+    def _refresh_selection_mask(self):
+        mask = np.zeros(self._cell_layout.get_num_cells(), dtype=bool)
+        mask[self._selected_cells] = True
+        if not np.array_equal(mask, self._selection_mask):
+            self._selection_mask = mask
+            self._selection_generation += 1
+
+    def get_fraction_volume_selected(self) -> float:
+        if self._cell_layout is None:
+            return 1.0
+        return max(1, len(self._selected_cells)) / self._cell_layout.get_num_cells()
+
+    def get_selected_cell_mask(self):
+        if self._cell_layout is None or self._selection_mask.all():
+            return None
+        return self._selection_mask
+
+    @property
+    def selection_generation(self) -> int:
+        """Increments whenever the cell selection changes (for cache reuse)."""
+        return self._selection_generation
+
+
+class RenderProgressionColumns(CellSelectionMixin, RenderProgression):
     """Progression over the presorted column space (sort-free interactive LOD).
 
     The particle store holds the snapshot in the static (smoothing-bucket,
@@ -155,14 +207,22 @@ class RenderProgressionColumns(RenderProgression):
     layout's ``real_per_column`` so the photometric scale factor stays
     exact despite run padding.  Column counts snap up to ``col_quantum``
     multiples (the renderer's slice-width buckets).
+
+    With a ``cell_layout``, spherical cell culling applies exactly as in the
+    cell-prefix progression: the renderer masks unselected cells inside the
+    splat, while logical lengths still count every particle in the rendered
+    columns — the same accounting as the prefix path, so the photometric
+    scale factor is unchanged by culling.
     """
 
     def __init__(self, real_per_column: np.ndarray,
+                 cell_layout: CellLayout | None = None,
                  initial_particles: int | None = None, col_quantum: int = 128):
         self._cum_real = np.concatenate(
             [[0], np.cumsum(np.asarray(real_per_column, dtype=np.int64))])
         self._ncols = len(real_per_column)
         self._col_quantum = col_quantum
+        self._init_cell_selection(cell_layout)
         super().__init__(int(self._cum_real[-1]), initial_particles)
 
     def _block_for_logical_range(self, start: int, length: int):
@@ -181,7 +241,7 @@ class RenderProgressionColumns(RenderProgression):
         return ([c0], [c1 - c0])
 
 
-class RenderProgressionWithCells(RenderProgression):
+class RenderProgressionWithCells(CellSelectionMixin, RenderProgression):
     """Progression with per-cell fair subsampling and spherical cell culling.
 
     Requires the particle arrays to be stored in the interleaved LOD order
@@ -192,11 +252,8 @@ class RenderProgressionWithCells(RenderProgression):
     def __init__(self, cell_layout: CellLayout, total_particles: int,
                  initial_particles: int | None = None, seed: int = 1337):
         super().__init__(total_particles, initial_particles)
-        self._cell_layout = cell_layout
         self._phase_shifts = cell_layout.default_phase_shifts(seed)
-        self._selected_cells = np.arange(cell_layout.get_num_cells())
-        self._selection_mask = np.ones(cell_layout.get_num_cells(), dtype=bool)
-        self._selection_generation = 0
+        self._init_cell_selection(cell_layout)
 
     def get_max_particle_regions_per_block(self) -> int:
         # device ranges are contiguous in interleave order: always one region
@@ -213,31 +270,3 @@ class RenderProgressionWithCells(RenderProgression):
         p0 = self._prefix(f0)
         p1 = self._prefix(f1)
         return ([p0], [p1 - p0])
-
-    def select_all(self):
-        self._selected_cells = np.arange(self._cell_layout.get_num_cells())
-        self._refresh_selection_mask()
-
-    def select_sphere(self, cen, radius):
-        self._selected_cells = self._cell_layout.cells_in_sphere(cen, radius)
-        self._refresh_selection_mask()
-
-    def _refresh_selection_mask(self):
-        mask = np.zeros(self._cell_layout.get_num_cells(), dtype=bool)
-        mask[self._selected_cells] = True
-        if not np.array_equal(mask, self._selection_mask):
-            self._selection_mask = mask
-            self._selection_generation += 1
-
-    def get_fraction_volume_selected(self) -> float:
-        return max(1, len(self._selected_cells)) / self._cell_layout.get_num_cells()
-
-    def get_selected_cell_mask(self):
-        if self._selection_mask.all():
-            return None
-        return self._selection_mask
-
-    @property
-    def selection_generation(self) -> int:
-        """Increments whenever the cell selection changes (for cache reuse)."""
-        return self._selection_generation

@@ -50,16 +50,21 @@ class DistributedSPHRenderer(SPHRenderer):
         layout = splatter.presorted_layout
         if layout is None or layout.real_per_column is None:
             return False
+        from ..ops.morton import min_slice_width
         self._render_progression = RenderProgressionColumns(
-            layout.real_per_column)
+            layout.real_per_column,
+            cell_layout=getattr(self._render_progression, "cell_layout", None),
+            col_quantum=min_slice_width(layout))
         return True
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
                               first_block: bool, sync_blocks: bool) -> bool:
         splatter = self._get_splatter()
+        mask = self._render_progression.get_selected_cell_mask()
         with self._render_timer:
             im, dropped = splatter.render_columns(
-                np.asarray(matrix), float(scale), col0, ncols)
+                np.asarray(matrix), float(scale), col0, ncols,
+                cell_mask=mask)
             self._dropped_splats = dropped
             if first_block:
                 self._image = im

@@ -92,8 +92,9 @@ def _render_block_presorted(pos_smooth, values, buckets, cell_ids, cell_table,
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "width", "depth_channel",
                                     "pad_group"))
-def _render_block_columns(pos_smooth, values, buckets, matrix, scale, col0,
-                          *, resolution, width, depth_channel, pad_group):
+def _render_block_columns(pos_smooth, values, buckets, cell_ids, cell_table,
+                          matrix, scale, col0, *, resolution, width,
+                          depth_channel, pad_group):
     """Render columns [col0, col0+width) of the presorted (groups x
     pad_group) matrix — the sort-free interactive LOD path.
 
@@ -101,14 +102,19 @@ def _render_block_columns(pos_smooth, values, buckets, matrix, scale, col0,
     so a column slice is a spatially fair subsample; slicing keeps the
     group-merged Morton locality, so the splat kernel's window machinery
     works exactly as for full renders.  Each static ``width`` (a power of
-    two >= pad_group/4) compiles once.
+    two, down to the layout's min_slice_width) compiles once.
+
+    ``cell_table`` (None = no culling, a separate trace) masks unselected
+    cells inside the splat — the columns analogue of the reference's
+    per-frame spherical cell culling (reference:
+    progressive_render.py:207-220).
     """
     n_pad = pos_smooth.shape[0]
     ngr = n_pad // pad_group
     # merged splat groups take pad_group/width adjacent original groups;
-    # morton run padding (run_quantum = 4*pad_group) only guarantees
-    # single-level merges up to 4
-    assert pad_group % width == 0 and pad_group // width <= 4, width
+    # the caller guarantees the layout's run padding covers that merge
+    # (ops/morton.min_slice_width)
+    assert pad_group % width == 0, width
     c0 = jnp.clip(col0, 0, pad_group - width)
 
     if width == pad_group:
@@ -123,11 +129,11 @@ def _render_block_columns(pos_smooth, values, buckets, matrix, scale, col0,
                 a, start, (ngr, width) + tail).reshape(
                 (ngr * width,) + tail)
 
-    # sliced groups merge up to 4 adjacent original groups (Morton-local);
-    # run padding to 4*pad_group keeps every merged group single-level
+    mask = None if cell_table is None else cell_table[slice_cols(cell_ids)]
     return splat_atlas.splat_atlas(slice_cols(pos_smooth),
                                    slice_cols(values), matrix, resolution,
-                                   scale, depth_channel=depth_channel,
+                                   scale, extra_mask=mask,
+                                   depth_channel=depth_channel,
                                    presorted_buckets=slice_cols(buckets))
 
 
@@ -335,28 +341,43 @@ class SPHRenderer:
         store = self._store
         store.ensure_presorted()
         layout = store.presorted_layout
-        if (layout.real_per_column is None
-                or layout.run_quantum < 4 * layout.pad_group):
+        if layout.real_per_column is None:
             return False  # layout without safe column slicing
+        from ..ops.morton import min_slice_width
+        # cell culling carries over from the cell-aware progression
         self._render_progression = RenderProgressionColumns(
-            layout.real_per_column)
+            layout.real_per_column,
+            cell_layout=getattr(self._render_progression, "cell_layout", None),
+            col_quantum=min_slice_width(layout))
         return True
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
                               first_block: bool, sync_blocks: bool) -> bool:
         """Render columns [col0, col0+ncols), decomposed into power-of-two
         slice widths (each width compiles once)."""
+        from ..ops.morton import min_slice_width
         store = self._store
         layout = store.presorted_layout
         pad_group = layout.pad_group
+        min_width = min_slice_width(layout)
+        culling = (self._render_progression.get_selected_cell_mask()
+                   is not None)
         off = 0
-        for width in (512, 256, 128):
+        widths = []
+        w = pad_group
+        while w >= min_width:
+            widths.append(w)
+            w //= 2
+        for width in widths:
             while ncols - off >= width:
                 with self._render_timer:
                     im, dropped = _render_block_columns(
                         store.pos_smooth_presorted,
                         store.presorted_values_for(self._buffer_name),
-                        store.presorted_buckets, matrix, scale,
+                        store.presorted_buckets,
+                        store.cell_ids_presorted if culling else None,
+                        self._cell_table if culling else None,
+                        matrix, scale,
                         jnp.int32(col0 + off),
                         resolution=self._resolution, width=width,
                         depth_channel=self._depth_channel,
@@ -370,7 +391,7 @@ class SPHRenderer:
                     if sync_blocks:
                         jax.block_until_ready(self._image)
                 off += width
-        if off != ncols:  # progression emits 64-column multiples
+        if off != ncols:  # progression emits col_quantum multiples
             raise AssertionError(f"unrenderable column range {ncols}")
         return first_block
 
