@@ -303,6 +303,107 @@ class DistributedSplatter:
             check_vma=False)
         return jax.jit(shard_fn)
 
+    def _build_columns_surface_step(self, width: int):
+        """shard_map step for surface (front-most fragment) column renders.
+
+        Each shard z-splats its slab's column slice through the Pallas
+        max-composite kernel (ops/zsplat_atlas.py); the cross-mesh reduce is
+        an elementwise depth arg-max instead of the additive psum (SURVEY §5
+        last bullet; reference z-buffer semantics: src/topsy/sph.py:606-610,
+        467-478): ``pmax`` the depth channel, then ``pmax`` the payload
+        masked to the shards holding the winning depth (exact float ties
+        across shards would pick the larger payload — measure-zero for real
+        particle depths).
+        """
+        from ..ops import zsplat_atlas
+        axis = self.axis
+        resolution = self.resolution
+        local_n = self._presorted["local_n"]
+        pad_group = self._presorted["layout"].pad_group
+        ngr = local_n // pad_group
+
+        def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
+                         cut, col0):
+            pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
+            c0 = jnp.clip(col0, 0, pad_group - width)
+
+            def slice_cols(arr):
+                tail = arr.shape[1:]
+                a = arr.reshape((ngr, pad_group) + tail)
+                start = (0, c0) + (0,) * len(tail)
+                return jax.lax.dynamic_slice(
+                    a, start, (ngr, width) + tail).reshape(
+                    (ngr * width,) + tail)
+
+            if width == pad_group:
+                p, v, b, cid = pos, vals, buckets, ids
+            else:
+                p, v, b, cid = (slice_cols(pos), slice_cols(vals),
+                                slice_cols(buckets), slice_cols(ids))
+            mask = cell_table[cid]
+            im, dropped = zsplat_atlas.zsplat_atlas(
+                p, v, matrix, resolution, scale, b, density_cut=cut,
+                extra_mask=mask)
+            depth = im[..., -1]
+            dmax = jax.lax.pmax(depth, axis)
+            payload = jnp.where((depth == dmax)[..., None], im[..., :-1],
+                                -jnp.inf)
+            payload = jax.lax.pmax(payload, axis)
+            out = jnp.concatenate([payload, dmax[..., None]], axis=-1)
+            return out, jax.lax.psum(dropped, axis)
+
+        shard_fn = jax.shard_map(
+            local_render, mesh=self.mesh,
+            in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
+                      P(), P(), P(), P(), P()),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shard_fn)
+
+    def render_columns_surface(self, matrix, scale, density_cut, col0: int,
+                               ncols: int, cell_mask=None):
+        """Front-most surface render of columns [col0, col0+ncols) across
+        the mesh; returns (image (res, res, C), dropped).  Pieces combine
+        host-side with the same strictly-greater depth compare as the
+        single-chip renderer."""
+        from ..ops.morton import min_slice_width
+        self.ensure_presorted()
+        ps = self._presorted
+        layout = ps["layout"]
+        table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        steps = getattr(self, "_column_surface_steps", None)
+        if steps is None:
+            steps = self._column_surface_steps = {}
+        total = None
+        dropped = jnp.int32(0)
+        off = 0
+        widths = []
+        w = layout.pad_group
+        while w >= min_slice_width(layout):
+            widths.append(w)
+            w //= 2
+        for width in widths:
+            while ncols - off >= width:
+                step = steps.get(width)
+                if step is None:
+                    step = steps[width] = \
+                        self._build_columns_surface_step(width)
+                im, d = step(ps["pos"], ps["values"], ps["buckets"],
+                             ps["cell_ids"], table,
+                             jnp.asarray(matrix, jnp.float32),
+                             jnp.float32(scale), jnp.float32(density_cut),
+                             jnp.int32(col0 + off))
+                if total is None:
+                    total = im
+                else:
+                    front = im[..., -1] > total[..., -1]
+                    total = jnp.where(front[..., None], im, total)
+                dropped = dropped + d
+                off += width
+        if off != ncols:
+            raise AssertionError(f"unrenderable column range {ncols}")
+        return total, dropped
+
     def render_columns(self, matrix, scale, col0: int, ncols: int,
                        cell_mask=None):
         """Render whole columns [col0, col0+ncols) across the mesh,

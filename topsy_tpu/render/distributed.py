@@ -16,10 +16,13 @@ from .. import config
 from ..parallel.render_step import DistributedSplatter
 from .sph import SPHRenderer
 from .store import ParticleStore
+from .surface import SurfaceSPHRenderer
 
 
-class DistributedSPHRenderer(SPHRenderer):
-    """Density / weighted-quantity renderer over a particle-sharded mesh."""
+class MeshSplatterMixin:
+    """Shared mesh plumbing for distributed renderers: owns the
+    DistributedSplatter (rebuilt when the channel buffer changes) and the
+    mesh-aware sort-free column activation."""
 
     def __init__(self, store: ParticleStore, render_progression,
                  resolution: int, mesh, wrapping: bool = False,
@@ -31,10 +34,33 @@ class DistributedSPHRenderer(SPHRenderer):
         self._splatter = None
         self._splatter_version = None
 
+    def _get_splatter(self) -> DistributedSplatter:
+        version = (self._buffer_name, self._store.values_version)
+        if self._splatter is None or self._splatter_version != version:
+            loader = self._store._loader
+            pos_smooth = loader.get_pos_smooth()
+            if self._buffer_name == "rgb":
+                values = loader.get_rgb_masses().astype(np.float32)
+            else:
+                mass = loader.get_mass().astype(np.float32)
+                qname = self._store.quantity_name
+                if qname is None:
+                    qty = np.zeros_like(mass)
+                else:
+                    qty = loader.get_named_quantity(qname).astype(np.float32)
+                values = np.stack([mass, mass * qty], axis=1)
+            cell_ids = loader.get_cell_ids()
+            self._splatter = DistributedSplatter(
+                self._mesh, pos_smooth, values, self._resolution,
+                cell_ids=cell_ids, depth_channel=self._depth_channel)
+            self._splatter_version = version
+        return self._splatter
+
+
     def _maybe_activate_columns(self, draw_reason) -> bool:
         """Sort-free column LOD over the mesh: each chip renders the column
-        range of its Morton slab and the partial framebuffers psum (the
-        per-group shuffle is global, so the union is the same fair
+        range of its Morton slab and the partial framebuffers reduce over
+        ICI (the per-group shuffle is global, so the union is the same fair
         subsample as single-chip)."""
         from ..drawreason import DrawReason
         from ..progression import RenderProgressionColumns
@@ -56,6 +82,10 @@ class DistributedSPHRenderer(SPHRenderer):
             cell_layout=getattr(self._render_progression, "cell_layout", None),
             col_quantum=min_slice_width(layout))
         return True
+
+
+class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
+    """Density / weighted-quantity renderer over a particle-sharded mesh."""
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
                               first_block: bool, sync_blocks: bool) -> bool:
@@ -97,28 +127,6 @@ class DistributedSPHRenderer(SPHRenderer):
             self._image = im if first_block else self._image + im
             jax.block_until_ready(self._image)
 
-    def _get_splatter(self) -> DistributedSplatter:
-        version = (self._buffer_name, self._store.values_version)
-        if self._splatter is None or self._splatter_version != version:
-            loader = self._store._loader
-            pos_smooth = loader.get_pos_smooth()
-            if self._buffer_name == "rgb":
-                values = loader.get_rgb_masses().astype(np.float32)
-            else:
-                mass = loader.get_mass().astype(np.float32)
-                qname = self._store.quantity_name
-                if qname is None:
-                    qty = np.zeros_like(mass)
-                else:
-                    qty = loader.get_named_quantity(qname).astype(np.float32)
-                values = np.stack([mass, mass * qty], axis=1)
-            cell_ids = loader.get_cell_ids()
-            self._splatter = DistributedSplatter(
-                self._mesh, pos_smooth, values, self._resolution,
-                cell_ids=cell_ids, depth_channel=self._depth_channel)
-            self._splatter_version = version
-        return self._splatter
-
     def _launch_block(self, matrix, scale, start: int, count: int,
                       bucket: int):
         prog = self._render_progression
@@ -144,3 +152,45 @@ class DistributedRGBSPHRenderer(DistributedSPHRenderer):
 
 class DistributedDepthSPHRenderer(DistributedSPHRenderer):
     _depth_channel = True
+
+
+class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
+    """Front-most (z-buffered) surface renderer over a particle-sharded mesh.
+
+    The cross-shard combine is an elementwise depth arg-max instead of the
+    additive psum (SURVEY §5 last bullet; reference z-buffer semantics:
+    src/topsy/sph.py:606-610,467-478), implemented inside the splatter's
+    surface column step.  Requires the sort-free presorted column path (the
+    scatter-max fallback is orders of magnitude slower and is never sharded);
+    if the layout cannot be built the render falls back to the single-chip
+    surface machinery with a warning.
+    """
+
+    def _maybe_activate_columns(self, draw_reason) -> bool:
+        ok = MeshSplatterMixin._maybe_activate_columns(self, draw_reason)
+        if not ok:
+            import logging
+            logging.getLogger(__name__).warning(
+                "distributed surface mode needs the presorted column path; "
+                "rendering single-chip")
+        return ok
+
+    def _render_columns_surface(self, matrix, scale, cut, col0: int,
+                                ncols: int, first_block: bool,
+                                sync_blocks: bool) -> bool:
+        splatter = self._get_splatter()
+        mask = self._render_progression.get_selected_cell_mask()
+        with self._render_timer:
+            im, dropped = splatter.render_columns_surface(
+                np.asarray(matrix), float(scale), float(cut), col0, ncols,
+                cell_mask=mask)
+            self._dropped_splats = dropped
+            if first_block:
+                self._image = im
+                first_block = False
+            else:
+                from .surface import _max_composite
+                self._image = _max_composite(self._image, im)
+            if sync_blocks:
+                jax.block_until_ready(self._image)
+        return first_block

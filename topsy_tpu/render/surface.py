@@ -38,14 +38,15 @@ def _render_block_surface(pos_smooth, values, cell_ids, cell_table, matrix,
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "width", "pad_group"))
-def _render_block_columns_surface(pos_smooth, values, buckets, matrix, scale,
-                                  density_cut, col0, *, resolution, width,
-                                  pad_group):
+def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
+                                  cell_table, matrix, scale, density_cut,
+                                  col0, *, resolution, width, pad_group):
     """Column-slice z-buffered render (sort-free LOD, as sph.py's columns
-    path) through the Pallas max-composite kernel (ops/zsplat_atlas.py)."""
+    path) through the Pallas max-composite kernel (ops/zsplat_atlas.py).
+    ``cell_table`` (None = no culling) masks unselected cells."""
     n_pad = pos_smooth.shape[0]
     ngr = n_pad // pad_group
-    assert pad_group % width == 0 and pad_group // width <= 4, width
+    assert pad_group % width == 0, width
     c0 = jnp.clip(col0, 0, pad_group - width)
 
     if width == pad_group:
@@ -60,9 +61,11 @@ def _render_block_columns_surface(pos_smooth, values, buckets, matrix, scale,
                 a, start, (ngr, width) + tail).reshape(
                 (ngr * width,) + tail)
 
+    mask = None if cell_table is None else cell_table[slice_cols(cell_ids)]
     return zsplat_atlas.zsplat_atlas(
         slice_cols(pos_smooth), slice_cols(values), matrix, resolution,
-        scale, slice_cols(buckets), density_cut=density_cut)
+        scale, slice_cols(buckets), density_cut=density_cut,
+        extra_mask=mask)
 
 
 @jax.jit
@@ -173,17 +176,28 @@ class SurfaceSPHRenderer(SPHRenderer):
     def _render_columns_surface(self, matrix, scale, cut, col0: int,
                                 ncols: int, first_block: bool,
                                 sync_blocks: bool) -> bool:
+        from ..ops.morton import min_slice_width
         store = self._store
         layout = store.presorted_layout
         pad_group = layout.pad_group
+        culling = (self._render_progression.get_selected_cell_mask()
+                   is not None)
         off = 0
-        for width in (512, 256, 128):
+        widths = []
+        w = pad_group
+        while w >= min_slice_width(layout):
+            widths.append(w)
+            w //= 2
+        for width in widths:
             while ncols - off >= width:
                 with self._render_timer:
                     im, dropped = _render_block_columns_surface(
                         store.pos_smooth_presorted,
                         store.presorted_values_for(self._buffer_name),
-                        store.presorted_buckets, matrix, scale, cut,
+                        store.presorted_buckets,
+                        store.cell_ids_presorted if culling else None,
+                        self._cell_table if culling else None,
+                        matrix, scale, cut,
                         jnp.int32(col0 + off), resolution=self._resolution,
                         width=width, pad_group=pad_group)
                     self._dropped_splats = dropped

@@ -98,8 +98,7 @@ class VisualizerBase:
             if render_mode in ("rgb", "rgb-hdr"):
                 return distributed.DistributedRGBSPHRenderer
             if render_mode == "surface":
-                logger.warning("surface mode renders single-chip for now")
-                return surface.SurfaceSPHRenderer
+                return distributed.DistributedSurfaceSPHRenderer
             return distributed.DistributedSPHRenderer
         if render_mode in ("rgb", "rgb-hdr"):
             return sph.RGBSPHRenderer
@@ -138,8 +137,8 @@ class VisualizerBase:
             renderer_class = self._renderer_class_for_mode(self._render_mode)
             logger.info("Using %s for render mode %r", renderer_class.__name__,
                         self._render_mode)
-            from .render.distributed import DistributedSPHRenderer
-            if issubclass(renderer_class, DistributedSPHRenderer):
+            from .render.distributed import MeshSplatterMixin
+            if issubclass(renderer_class, MeshSplatterMixin):
                 self._sph = renderer_class(self.store, progression,
                                            self._render_resolution, self._mesh,
                                            backend=self._splat_backend)
