@@ -23,6 +23,9 @@ def main():
     from topsy_tpu import camera
     from topsy_tpu.loaders import TestDataLoader
     from topsy_tpu.ops import morton, splat_atlas
+    from topsy_tpu.util import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
 
     resolution = 1024
     scale = 200.0

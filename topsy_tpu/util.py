@@ -62,3 +62,24 @@ def is_jupyter() -> bool:
         return False
     ip = get_ipython()
     return ip is not None and ip.has_trait("kernel")
+
+
+def enable_persistent_compile_cache(path: str | None = None) -> None:
+    """Cache compiled XLA executables on disk across processes.
+
+    Splat-pipeline compiles cost 40-180 s through this harness's remote
+    TPU compile service; the persistent cache turns repeat compiles of an
+    unchanged pipeline into a sub-second disk hit.  (The device-side
+    program load on first execution is not cached and still pays its
+    cost once per process.)  Safe to call more than once.
+    """
+    import os
+
+    import jax
+
+    if path is None:
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                            ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
