@@ -1,149 +1,176 @@
-"""Timestream interpolators for movie replay.
+"""Timestream samplers for movie replay.
 
-Semantics follow the reference interpolators (reference:
-src/topsy/recorder/interpolator.py): linear, step, rotation (SVD
-re-orthogonalization), and Gaussian-smoothed variants (resample at fixed fps
-then convolve), plus the ramped smoothed-step used for scalar parameter
-transitions.
+A *timestream* is a list of ``(time, value)`` events recorded live (see
+``recorder.VisualizationRecorder``).  Replay needs to sample each stream at
+the frame clock, in four flavours mirroring the reference feature set
+(reference: src/topsy/recorder/interpolator.py): piecewise-linear, rotation
+(nearest orthogonal matrix), change-only steps, and Gaussian-smoothed
+variants of each.
+
+The implementation here is array-based rather than event-loop based: event
+times live in a sorted numpy array and every lookup is a ``searchsorted``,
+and Gaussian smoothing is a stream->stream transform
+(:func:`gaussian_smooth`) applied at construction instead of a sampling-time
+wrapper, so the smoothed classes are ordinary subclasses that rebuild their
+stream once.
 """
 
 from __future__ import annotations
 
-import math
-from abc import ABC, abstractmethod
-
 import numpy as np
 
 
-class Interpolator(ABC):
-    """Interpolates a timestream of (time, value) pairs."""
+def _nearest_rotation(m):
+    """Project a near-rotation matrix onto the orthogonal group (via SVD)."""
+    u, _, vh = np.linalg.svd(m)
+    return u @ vh
+
+
+def gaussian_smooth(sample, t_end, smoothing, fps):
+    """Low-pass a sampler into a dense timestream.
+
+    ``sample`` (callable t -> value) is evaluated on the uniform grid
+    ``i / fps`` for ``i < floor(t_end * fps)``; each component is then
+    convolved with a normalized Gaussian of standard deviation ``smoothing``
+    seconds (support +-3 sigma, edges held constant).  Returns the smoothed
+    ``(time, value)`` list on the same grid.
+    """
+    n = int(np.floor(t_end * fps))
+    dense = np.asarray([sample(i / fps) for i in range(n)], dtype=float)
+    shape = dense.shape[1:]
+
+    half = max(1, int(np.floor(3.0 * smoothing * fps)))
+    taps = np.arange(-half, half + 1, dtype=float)
+    kern = np.exp(-0.5 * (taps / (smoothing * fps)) ** 2)
+    kern /= kern.sum()
+
+    flat = dense.reshape(n, -1)
+    held = np.concatenate([np.repeat(flat[:1], half, axis=0), flat,
+                           np.repeat(flat[-1:], half, axis=0)])
+    cols = [np.convolve(held[:, j], kern, mode="valid")
+            for j in range(flat.shape[1])]
+    smooth = np.stack(cols, axis=1).reshape((-1,) + shape)
+
+    if shape == ():
+        return [(i / fps, float(v)) for i, v in enumerate(smooth)]
+    return [(i / fps, v) for i, v in enumerate(smooth)]
+
+
+class Interpolator:
+    """Base sampler over a timestream of ``(time, value)`` events.
+
+    ``no_value`` is the sentinel returned when a sampler has nothing to
+    report (past the end of the stream, or an unchanged step value).
+    """
 
     no_value = object()
 
     def __init__(self, timestream):
-        self._timestream = timestream
+        self._times = np.asarray([t for t, _ in timestream], dtype=float)
+        self._values = [v for _, v in timestream]
 
-    @abstractmethod
     def __call__(self, t):
-        ...
+        raise NotImplementedError
 
 
 class LinearInterpolator(Interpolator):
+    """Piecewise-linear sampling; clamps before the first event and returns
+    ``no_value`` after the last."""
+
     def __call__(self, t):
-        stream = self._timestream
-        for i, (t_ev, val_ev) in enumerate(stream):
-            if t_ev >= t:
-                if i == 0:
-                    return val_ev
-                t0, val0 = stream[i - 1]
-                return val0 + (val_ev - val0) * (t - t0) / (t_ev - t0)
-        return self.no_value
-
-
-class SmoothedInterpolatorMixin:
-    """Gaussian smoothing: resample the interpolated stream at ``fps`` and
-    convolve with a normalized Gaussian kernel of std ``smoothing`` seconds."""
-
-    def __init__(self, timestream, smoothing=0.25, fps=30):
-        super().__init__(timestream)
-        tmax = timestream[-1][0]
-        self._smoothing = smoothing
-
-        resampled = [super(SmoothedInterpolatorMixin, self).__call__(i / fps)
-                     for i in range(math.floor(tmax * fps))]
-
-        kernel = np.exp(-np.arange(-3 * smoothing * fps, 3 * smoothing * fps) ** 2
-                        / (2 * smoothing ** 2 * fps ** 2))
-        kernel /= kernel.sum()
-        resampled = np.concatenate(
-            ([resampled[0]] * (len(kernel) // 2),
-             resampled,
-             [resampled[-1]] * (len(kernel) // 2)))
-
-        if resampled.ndim == 1:
-            smoothed = np.convolve(resampled, kernel, mode="valid")
-        else:
-            smoothed = None
-            for index in np.ndindex(resampled.shape[1:]):
-                sl = (slice(None),) + index
-                result = np.convolve(resampled[sl], kernel, mode="valid")
-                if smoothed is None:
-                    smoothed = np.empty((len(result),) + resampled.shape[1:])
-                smoothed[sl] = result
-
-        self._timestream = [(i / fps, val) for i, val in enumerate(smoothed)]
-
-
-class SmoothedLinearInterpolator(SmoothedInterpolatorMixin, LinearInterpolator):
-    pass
+        times = self._times
+        i = int(np.searchsorted(times, t, side="left"))
+        if i == len(times):
+            return self.no_value
+        if i == 0:
+            return self._values[0]
+        v0 = np.asarray(self._values[i - 1], dtype=float)
+        v1 = np.asarray(self._values[i], dtype=float)
+        w = (t - times[i - 1]) / (times[i] - times[i - 1])
+        out = v0 + (v1 - v0) * w
+        return float(out) if out.ndim == 0 else out
 
 
 class RotationInterpolator(LinearInterpolator):
-    """Linear matrix interpolation re-orthogonalized by SVD."""
+    """Linear matrix interpolation projected back onto a rotation."""
 
     def __call__(self, t):
-        matr = super().__call__(t)
-        if matr is self.no_value:
-            return matr
-        u, _, vh = np.linalg.svd(matr)
-        return u @ vh
+        m = super().__call__(t)
+        if m is self.no_value:
+            return m
+        return _nearest_rotation(m)
 
 
-class SmoothedRotationInterpolator(SmoothedInterpolatorMixin, RotationInterpolator):
-    pass
+class SmoothedLinearInterpolator(LinearInterpolator):
+    """Linear sampling of the Gaussian-smoothed stream."""
+
+    def __init__(self, timestream, smoothing=0.25, fps=30):
+        dense = gaussian_smooth(LinearInterpolator(timestream),
+                                timestream[-1][0], smoothing, fps)
+        super().__init__(dense)
+
+
+class SmoothedRotationInterpolator(RotationInterpolator):
+    """Smoothed matrix stream, re-orthogonalized at every sample."""
+
+    def __init__(self, timestream, smoothing=0.25, fps=30):
+        dense = gaussian_smooth(LinearInterpolator(timestream),
+                                timestream[-1][0], smoothing, fps)
+        super().__init__(dense)
 
 
 class StepInterpolator(Interpolator):
-    """Returns a value only when it changes; requires sequential access."""
+    """Reports a value only when it changes.
+
+    Stateful by nature (it must remember what it already reported), so the
+    frame clock has to visit it in non-decreasing time order.
+    """
 
     def __init__(self, timestream):
         super().__init__(timestream)
-        self._last_value = self.no_value
-        self._last_t = None
+        self._clock = -np.inf
+        self._reported = Interpolator.no_value
 
     def __call__(self, t):
-        if self._last_t is not None and t < self._last_t:
+        if t < self._clock:
             raise ValueError("StepInterpolator must be accessed sequentially")
-        self._last_t = t
-        for t_ev, val_ev in self._timestream[::-1]:
-            if t_ev <= t:
-                if val_ev != self._last_value:
-                    self._last_value = val_ev
-                    return self._last_value
-                return self.no_value
-        return self.no_value
+        self._clock = t
+        i = int(np.searchsorted(self._times, t, side="right")) - 1
+        if i < 0:
+            return self.no_value
+        value = self._values[i]
+        if self._reported is not self.no_value and value == self._reported:
+            return self.no_value
+        self._reported = value
+        return value
 
 
 class SmoothedStepInterpolator(StepInterpolator):
-    """Step transitions ramped linearly over ``smoothing`` seconds."""
+    """Step changes ramped linearly over ``smoothing`` seconds.
+
+    For numeric streams only (vmin/vmax/gamma transitions).  While a ramp is
+    live every sample returns the blend; a change detected mid-stream first
+    re-reports the old value and opens a ramp to the new one.
+    """
 
     def __init__(self, timestream, smoothing=0.25):
-        self._start_value = None
-        self._target_value = None
-        self._transition_start = None
-        self._transition_end = None
-        self._smoothing = smoothing
         super().__init__(timestream)
+        self._smoothing = smoothing
+        self._ramp = None  # (t_start, t_end, v_from, v_to)
 
     def __call__(self, t):
-        if self._target_value is not None:
-            if t >= self._transition_end:
-                tv = self._target_value
-                self._start_value = self._target_value = None
-                self._transition_start = self._transition_end = None
-                return tv
-            frac = ((t - self._transition_start)
-                    / (self._transition_end - self._transition_start))
-            return self._start_value + (self._target_value - self._start_value) * frac
+        if self._ramp is not None:
+            t0, t1, v0, v1 = self._ramp
+            if t < t1:
+                return v0 + (v1 - v0) * (t - t0) / (t1 - t0)
+            self._ramp = None
+            return v1
 
-        last_value = self._last_value
-        new_value = super().__call__(t)
-        if new_value is self.no_value or new_value is None or new_value == last_value:
+        before = self._reported
+        value = super().__call__(t)
+        if value is self.no_value or value is None:
             return self.no_value
-        if last_value is self.no_value or last_value is None:
-            return new_value
-        self._start_value = last_value
-        self._target_value = new_value
-        self._transition_start = t
-        self._transition_end = t + self._smoothing
-        return last_value
+        if before is self.no_value or before is None:
+            return value  # nothing to ramp from
+        self._ramp = (t, t + self._smoothing, before, value)
+        return before
