@@ -112,9 +112,30 @@ def test_save_npy_and_png(vis, tmp_path):
     assert os.path.getsize(png) > 1000
 
 
+def test_save_tiff_hdr(tmp_path):
+    """Float16 HDR export (reference workflow: tests/test_render_output.py
+    test_hdr_rgb_render writes the presentation image as an RGB tiff)."""
+    vis = topsy_tpu.test(2000, render_resolution=64,
+                         canvas_class=OffscreenCanvas, render_mode="rgb-hdr")
+    tif = tmp_path / "out.tiff"
+    try:
+        import tifffile  # noqa: F401
+    except ImportError:
+        with pytest.raises(RuntimeError, match="tifffile"):
+            vis.save(str(tif))
+        return
+    vis.save(str(tif))
+    import tifffile
+    arr = tifffile.imread(str(tif))
+    assert arr.dtype == np.float16
+    assert arr.shape == (64, 64, 3)
+
+
 def test_depth_image_and_double_click(vis):
     d = vis.get_depth_image()
     assert d.shape == (RES, RES)
+    # the depth renderer is cached across probes (first-probe jit hitch)
+    assert vis._sph._get_depth_renderer() is vis._sph._get_depth_renderer()
     vis.canvas.resize_complete(320, 240, 1)
     before = np.asarray(vis.position_offset).copy()
     vis.canvas.double_click(80, 60)

@@ -68,7 +68,10 @@ def test_matches_scatter_matched_levels(rot_deg):
 def test_density_cut_respected():
     ps, vals, buckets = _presorted()
     m = _matrix()
-    rho = np.asarray(vals[:, 0]) / np.maximum(np.asarray(ps[:, 3]), 1e-30) ** 3
+    # clip h to keep pad sentinels (1e30) from overflowing the cube; pads
+    # carry zero mass and are excluded below anyway
+    rho = np.asarray(vals[:, 0]) / np.clip(np.asarray(ps[:, 3]),
+                                           1e-30, 1e10) ** 3
     cut = float(np.quantile(rho[np.asarray(vals[:, 0]) > 0], 0.8))
     im_cut, d0 = zsplat_atlas.zsplat_atlas(ps, vals, m, RES, SCALE, buckets,
                                            density_cut=cut)

@@ -206,7 +206,10 @@ class Colormap(ColormapBase):
         """Drop/ratio channels to the logical content (reference:
         implementation.py:119-130)."""
         if self._params["weighted_average"]:
-            return numpy_image[..., 1] / numpy_image[..., 0]
+            # empty pixels divide 0/0 to NaN deliberately (masked downstream
+            # by the colormap); keep numpy from warning about them
+            with np.errstate(invalid="ignore", divide="ignore"):
+                return numpy_image[..., 1] / numpy_image[..., 0]
         return numpy_image[..., 0]
 
     def _effective_vmin_vmax(self, mass_scale: float):

@@ -14,6 +14,7 @@ import numpy as np
 
 from .. import config
 from ..parallel.render_step import DistributedSplatter
+from .periodic import PeriodicSPHRenderer
 from .sph import SPHRenderer
 from .store import ParticleStore
 from .surface import SurfaceSPHRenderer
@@ -194,3 +195,20 @@ class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
             if sync_blocks:
                 jax.block_until_ready(self._image)
         return first_block
+
+
+class DistributedPeriodicSPHRenderer(MeshSplatterMixin, PeriodicSPHRenderer):
+    """Periodic lattice compositing of the mesh-rendered panel.
+
+    The base panel is splatted across the mesh's particle shards and
+    psum-reduced over ICI exactly as DistributedSPHRenderer does; the
+    (2n+1)^3 lattice composite (reference: src/topsy/periodic_sph.py:74-88)
+    then runs on the reduced panel, so it needs no mesh awareness of its
+    own."""
+
+    def __init__(self, store: ParticleStore, render_progression,
+                 resolution: int, mesh, periodicity_scale: float,
+                 backend: str | None = None):
+        super().__init__(store, render_progression, resolution, mesh,
+                         wrapping=True, backend=backend)
+        self._periodicity_scale = periodicity_scale

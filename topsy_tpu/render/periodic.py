@@ -19,9 +19,11 @@ class PeriodicSPHRenderer(SPHRenderer):
     num_repetitions = 2
 
     def __init__(self, store, render_progression, resolution: int,
-                 periodicity_scale: float, backend: str | None = None):
+                 periodicity_scale: float | None = None,
+                 backend: str | None = None, **kwargs):
+        kwargs.setdefault("wrapping", True)
         super().__init__(store, render_progression, resolution,
-                         wrapping=True, backend=backend)
+                         backend=backend, **kwargs)
         self._periodicity_scale = periodicity_scale
         self._display_image = None
 

@@ -216,13 +216,26 @@ class SPHRenderer:
         depth_renderer = self._get_depth_renderer()
         depth_renderer.render(depth_renderer_reason)
         image = depth_renderer.get_image()
-        depth_viewport = image[..., -1] / image[..., 0]
+        # empty pixels are NaN on purpose (no depth there — the picker
+        # ignores them); suppress numpy's 0/0 warning only
+        with np.errstate(invalid="ignore", divide="ignore"):
+            depth_viewport = image[..., -1] / image[..., 0]
         return (depth_viewport - 0.5) * self.scale * 2.0
 
     def _get_depth_renderer(self) -> "DepthSPHRenderer":
-        r = DepthSPHRenderer(self._store, None, self._resolution,
-                             wrapping=self._wrapping, backend=self._backend,
-                             share_render_progression=copy.copy(self._render_progression))
+        # cached: a fresh instance per double-click would re-trace the
+        # depth-channel splat variant — a visible first-probe hitch.  The
+        # store/resolution/backend are fixed for this renderer's lifetime;
+        # only the view and the progression's culling state change per probe.
+        r = getattr(self, "_depth_renderer", None)
+        if r is None:
+            r = DepthSPHRenderer(self._store, None, self._resolution,
+                                 wrapping=self._wrapping,
+                                 backend=self._backend,
+                                 share_render_progression=copy.copy(
+                                     self._render_progression))
+            self._depth_renderer = r
+        r._render_progression = copy.copy(self._render_progression)
         r.rotation_matrix = self.rotation_matrix
         r.position_offset = self.position_offset
         r.scale = self.scale

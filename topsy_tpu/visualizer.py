@@ -130,9 +130,16 @@ class VisualizerBase:
 
         progression = self.data_loader.get_render_progression()
         if self._periodic_tiling:
-            self._sph = periodic.PeriodicSPHRenderer(
-                self.store, progression, self._render_resolution,
-                self.periodicity_scale, backend=self._splat_backend)
+            if self._mesh is not None:
+                from .render.distributed import DistributedPeriodicSPHRenderer
+                self._sph = DistributedPeriodicSPHRenderer(
+                    self.store, progression, self._render_resolution,
+                    self._mesh, self.periodicity_scale,
+                    backend=self._splat_backend)
+            else:
+                self._sph = periodic.PeriodicSPHRenderer(
+                    self.store, progression, self._render_resolution,
+                    self.periodicity_scale, backend=self._splat_backend)
         else:
             renderer_class = self._renderer_class_for_mode(self._render_mode)
             logger.info("Using %s for render mode %r", renderer_class.__name__,
@@ -421,11 +428,24 @@ class VisualizerBase:
             self._prevent_sph_rendering = False
 
     def save(self, filename="output.pdf"):
-        """Save to .npy (raw content), .png, or a matplotlib-rendered figure
-        with colorbar (reference: visualizer.py:528-570)."""
+        """Save to .npy (raw content), .tif/.tiff (float16 HDR image, as the
+        reference's HDR workflow writes — reference:
+        tests/test_render_output.py:69-141), .png, or a matplotlib-rendered
+        figure with colorbar (reference: visualizer.py:528-570)."""
         self._sph.render(DrawReason.EXPORT)
         if filename.endswith(".npy"):
             np.save(filename, self.get_sph_image())
+            return
+        if filename.endswith((".tif", ".tiff")):
+            try:
+                import tifffile
+            except ImportError as exc:  # not bundled in every environment
+                raise RuntimeError(
+                    "saving .tiff requires the tifffile package") from exc
+            image = np.asarray(self.get_sph_presentation_image())[..., :3]
+            tifffile.imwrite(filename, image.astype(np.float16),
+                             photometric="rgb")
+            logger.info("Saved %s", filename)
             return
         import matplotlib.pyplot as p
         colormap_params = self._colormap.get_parameters()
