@@ -71,9 +71,17 @@ class DistributedSplatter:
                            global_n: int, **kwargs) -> "DistributedSplatter":
         """Multi-host construction: each process supplies the rows owned by
         its local devices (global indices i with i % D giving a local
-        device), assembled with jax.make_array_from_process_local_data so no
+        device, already padded to n_local_devices * ceil(global_n / D)
+        rows), assembled with jax.make_array_from_process_local_data so no
         host ever materializes the full snapshot.  DCN is touched only here;
         the render step's psum rides ICI.
+
+        Pass ``n_cells`` explicitly when cell culling is used — the local
+        rows only see a subset of cells, so the constructor must not infer
+        the global count from them.  The sort-free presorted paths remain
+        available: each process later builds the (bucket, Morton) layout of
+        its OWN rows (see ensure_presorted), which is exact for the additive
+        render because per-process layouts permute disjoint subsets.
         """
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -89,6 +97,8 @@ class DistributedSplatter:
         sharding = NamedSharding(mesh, P(self.axis))
         n_local_dev = len([d for d in mesh.devices.flat
                            if d.process_index == jax.process_index()])
+        local_pos_smooth = np.asarray(local_pos_smooth, np.float32)
+        local_values = np.asarray(local_values, np.float32)
         shape4 = (self.n_devices, self.local_n, 4)
         shapeC = (self.n_devices, self.local_n, local_values.shape[-1])
         self.pos_smooth = jax.make_array_from_process_local_data(
@@ -99,13 +109,30 @@ class DistributedSplatter:
             shapeC)
         cell_ids = kwargs.get("cell_ids")
         if cell_ids is None:
+            self.n_cells = kwargs.get("n_cells", 1)
             cell_ids = np.zeros(n_local_dev * self.local_n, dtype=np.int32)
-        self.n_cells = kwargs.get("n_cells", int(cell_ids.max()) + 1)
+        else:
+            cell_ids = np.asarray(cell_ids, np.int32)
+            self.n_cells = kwargs.get(
+                "n_cells",
+                int(cell_ids.max()) + 1 if cell_ids.size else 1)
         self.cell_ids = jax.make_array_from_process_local_data(
             sharding, cell_ids.reshape(n_local_dev, self.local_n),
             (self.n_devices, self.local_n))
         self._all_cells = jnp.ones((self.n_cells,), dtype=bool)
         self._steps = {}
+        # presorted state: the full-snapshot host arrays never exist here;
+        # the per-process rows take their place (ensure_presorted)
+        self._host_pos_smooth = None
+        self._host_values = None
+        self._host_cell_ids = None
+        self._local_pos_smooth = local_pos_smooth
+        self._local_values = local_values
+        self._local_cell_ids = cell_ids
+        self._n_local_dev = n_local_dev
+        self._presorted = None
+        self._presorted_steps = {}
+        self._column_steps = {}
         return self
 
     def __init__(self, mesh: Mesh, pos_smooth: np.ndarray, values: np.ndarray,
@@ -185,40 +212,101 @@ class DistributedSplatter:
     # -- presorted (sort-free) full renders ------------------------------------
 
     def supports_presorted(self) -> bool:
-        """The presorted layout needs the global host arrays (single-host
-        construction); from_process_local shards never materialize them."""
-        return getattr(self, "_host_pos_smooth", None) is not None
+        """True for single-host construction (global host arrays kept) AND
+        for from_process_local (each process presorts its own rows)."""
+        return (getattr(self, "_host_pos_smooth", None) is not None
+                or getattr(self, "_local_pos_smooth", None) is not None)
 
     def has_presorted(self) -> bool:
         return getattr(self, "_presorted", None) is not None
 
-    def ensure_presorted(self):
+    def ensure_presorted(self, padded_local_len: int | None = None):
         """Shard the static (bucket, Morton) order (ops/morton.py) as
         contiguous per-device slabs.  Morton slabs are spatially coherent, so
         each shard's groups stay window-local without any per-frame sort;
-        the framebuffer psum is unchanged."""
+        the framebuffer psum is unchanged.
+
+        Single-host: one global layout, cut into contiguous slabs.
+        Process-local: each process presorts its OWN rows and contributes
+        them via jax.make_array_from_process_local_data — exact, because
+        the blend is additive over disjoint subsets, and column slices stay
+        fair subsamples (the per-group shuffle is per-layout but every
+        layout's columns are fair).  With more than one process the padded
+        per-device length is data-dependent per host, so callers must
+        agree on ``padded_local_len`` beforehand (allreduce-max of the
+        natural lengths); single-process needs neither.
+        """
         if self._presorted is not None or not self.supports_presorted():
             return
         from ..ops import morton
-        layout = morton.build_presorted(self._host_pos_smooth,
-                                        pad_total=4096 * self.n_devices)
         sharding = NamedSharding(self.mesh, P(self.axis))
-        ln = layout.n_out // self.n_devices
 
-        def slab(arr):
-            return jax.device_put(
-                arr.reshape(self.n_devices, ln, *arr.shape[1:]), sharding)
+        if self._host_pos_smooth is not None:
+            layout = morton.build_presorted(self._host_pos_smooth,
+                                            pad_total=4096 * self.n_devices)
+            ln = layout.n_out // self.n_devices
 
-        cell_ids = (self._host_cell_ids if self._host_cell_ids is not None
-                    else np.zeros(self.n, dtype=np.int32))
+            def slab(arr):
+                return jax.device_put(
+                    arr.reshape(self.n_devices, ln, *arr.shape[1:]),
+                    sharding)
+
+            cell_ids = (self._host_cell_ids
+                        if self._host_cell_ids is not None
+                        else np.zeros(self.n, dtype=np.int32))
+            self._presorted = dict(
+                local_n=ln,
+                layout=layout,
+                pos=slab(layout.apply(self._host_pos_smooth,
+                                      fill=morton.PAD_POS)),
+                values=slab(layout.apply(self._host_values)),
+                buckets=slab(layout.buckets),
+                cell_ids=slab(layout.apply(cell_ids)),
+            )
+            return
+
+        # -- process-local rows: per-process layout ------------------------
+        nl_dev = self._n_local_dev
+        layout = morton.build_presorted(self._local_pos_smooth,
+                                        pad_total=4096 * nl_dev)
+        natural = layout.n_out // nl_dev
+        if padded_local_len is None:
+            if jax.process_count() > 1:
+                raise ValueError(
+                    "multi-process ensure_presorted needs an agreed "
+                    "padded_local_len (allreduce-max the natural per-device "
+                    f"lengths; this process computed {natural})")
+            ln = natural
+        else:
+            if padded_local_len < natural or padded_local_len % 4096:
+                raise ValueError(
+                    f"padded_local_len {padded_local_len} invalid "
+                    f"(needs multiple of 4096 >= {natural})")
+            ln = padded_local_len
+        extra = ln * nl_dev - layout.n_out
+
+        def slab(applied, fill):
+            if extra:
+                tail = np.full((extra,) + applied.shape[1:], fill,
+                               applied.dtype)
+                applied = np.concatenate([applied, tail])
+            local = applied.reshape(nl_dev, ln, *applied.shape[1:])
+            return jax.make_array_from_process_local_data(
+                sharding, local,
+                (self.n_devices, ln) + applied.shape[1:])
+
+        cell_ids = (self._local_cell_ids
+                    if self._local_cell_ids is not None
+                    else np.zeros(len(self._local_pos_smooth),
+                                  dtype=np.int32))
         self._presorted = dict(
             local_n=ln,
             layout=layout,
-            pos=slab(layout.apply(self._host_pos_smooth,
-                                  fill=morton.PAD_POS)),
-            values=slab(layout.apply(self._host_values)),
-            buckets=slab(layout.buckets),
-            cell_ids=slab(layout.apply(cell_ids)),
+            pos=slab(layout.apply(self._local_pos_smooth,
+                                  fill=morton.PAD_POS), morton.PAD_POS),
+            values=slab(layout.apply(self._local_values), 0.0),
+            buckets=slab(layout.buckets, 0),
+            cell_ids=slab(layout.apply(cell_ids), 0),
         )
 
     def _build_presorted_step(self, bucket: int):
@@ -226,7 +314,7 @@ class DistributedSplatter:
         resolution = self.resolution
         depth_channel = self._depth_channel
         local_n = self._presorted["local_n"]
-        C = int(self._host_values.shape[-1])
+        C = int(self.values.shape[-1])
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
                          start, count):
@@ -269,7 +357,7 @@ class DistributedSplatter:
         local_n = self._presorted["local_n"]
         pad_group = self._presorted["layout"].pad_group
         ngr = local_n // pad_group
-        C = int(self._host_values.shape[-1])
+        C = int(self.values.shape[-1])
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
                          col0):
