@@ -54,10 +54,11 @@ def main():
     float(np.asarray(im[0, 0, 0]))
 
     # enough iterations per readback that the dev harness's ~28ms host-tunnel
-    # sync latency (not part of the render) is amortized below 5%
+    # sync latency (not part of the render) is amortized below 5%; best of
+    # several rounds because tunnel scheduling adds ~3% run-to-run noise
     reps = 25
     best = float("inf")
-    for _ in range(3):
+    for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(reps):
             im = fn(pos_smooth, values, matrix, buckets)

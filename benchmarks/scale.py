@@ -1,0 +1,86 @@
+"""Scale validation toward the 100M-particle north star (BASELINE.md).
+
+Runs the PRODUCT paths (Visualizer + store + presorted piece loop) at
+2^24-2^26 particles on the real chip and reports phase timings as JSON:
+snapshot generation, presort build (native radix), device upload + first
+EXPORT (compile included), steady-state EXPORT throughput, and interactive
+CHANGE-frame latency at the same scale.
+
+Usage: python benchmarks/scale.py [log2_n] [resolution]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+
+def main():
+    log2n = int(sys.argv[1]) if len(sys.argv) > 1 else 26
+    resolution = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    n = 1 << log2n
+
+    import numpy as np
+
+    import topsy_tpu
+    from topsy_tpu.canvas import OffscreenCanvas
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.util import enable_persistent_compile_cache
+
+    enable_persistent_compile_cache()
+    out = {"n": n, "resolution": resolution}
+
+    t0 = time.perf_counter()
+    vis = topsy_tpu.test(n, render_resolution=resolution,
+                         canvas_class=OffscreenCanvas)
+    out["construct_s"] = round(time.perf_counter() - t0, 3)
+
+    # presort build (the one-time host cost of the sort-free order)
+    t0 = time.perf_counter()
+    vis.store.ensure_presorted()
+    out["presort_build_s"] = round(time.perf_counter() - t0, 3)
+    layout = vis.store.presorted_layout
+    out["presort_slots"] = int(layout.n_out)
+    out["presort_pad_frac"] = round(layout.n_out / n - 1.0, 4)
+
+    # first EXPORT pays upload + compile
+    t0 = time.perf_counter()
+    im = vis.get_sph_image()
+    out["first_export_s"] = round(time.perf_counter() - t0, 3)
+    assert np.isfinite(np.asarray(im)[~np.isnan(np.asarray(im))]).all()
+
+    # steady-state EXPORT (full-coverage render, piece loop included)
+    import jax
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        vis._sph.render(DrawReason.EXPORT)
+        jax.block_until_ready(vis._sph._image)
+        best = min(best, time.perf_counter() - t0)
+    out["export_s"] = round(best, 4)
+    out["export_msplats_per_s"] = round(n / best / 1e6, 1)
+
+    # interactive CHANGE frames (sort-free column LOD under the frame
+    # budget; report the adaptive steady state)
+    for _ in range(3):
+        vis.rotate(0.02, 0.0)
+        vis._sph.render(DrawReason.CHANGE)
+        jax.block_until_ready(vis._sph._image)
+    times = []
+    for _ in range(10):
+        vis.rotate(0.02, 0.0)
+        t0 = time.perf_counter()
+        vis._sph.render(DrawReason.CHANGE)
+        jax.block_until_ready(vis._sph._image)
+        times.append(time.perf_counter() - t0)
+    out["interactive_ms_median"] = round(1e3 * sorted(times)[len(times) // 2],
+                                         2)
+    out["interactive_fps_median"] = round(
+        1.0 / sorted(times)[len(times) // 2], 1)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
