@@ -127,3 +127,28 @@ def test_distributed_periodic_tiling_matches_single_chip():
                                atol=1e-5 * np.abs(im1).max())
     # the tiled panel holds at least the bare panel's mass
     assert im8[..., 0].sum() >= np.asarray(v8._sph._image)[..., 0].sum() * 0.99
+
+
+def test_distributed_periodic_interactive_change_frame():
+    """Interactive (CHANGE) frames through the periodic mesh renderer: the
+    class must inherit the *distributed* column/block render paths, not
+    SPHRenderer's store-based ones (it used to mix MeshSplatterMixin's
+    column activation with the single-chip columns renderer and crash on
+    a store that was never presorted)."""
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.render.distributed import (DistributedPeriodicSPHRenderer,
+                                              DistributedSPHRenderer)
+    v8 = topsy_tpu.test(4000, render_resolution=RES,
+                        canvas_class=OffscreenCanvas, periodic_tiling=True,
+                        mesh=make_mesh(8))
+    sph = v8._sph
+    assert isinstance(sph, DistributedPeriodicSPHRenderer)
+    assert isinstance(sph, DistributedSPHRenderer)
+    assert (type(sph)._render_columns_range
+            is DistributedSPHRenderer._render_columns_range)
+    sph.render(DrawReason.EXPORT)
+    v8.rotate(0.3, 0.0)
+    sph.render(DrawReason.CHANGE)  # used to raise AttributeError
+    im = np.asarray(sph.get_output_image())
+    assert np.isfinite(im[..., 0]).all()
+    assert im[..., 0].sum() > 0

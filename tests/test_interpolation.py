@@ -72,3 +72,21 @@ def test_smoothed_step_ramps():
     mid = ssi(1.25)
     assert 0.0 < mid < 4.0
     assert ssi(1.6) == 4.0
+
+
+def test_smoothed_single_event_stream_is_constant():
+    """Every recorded stream opens with one t=0 event; a property never
+    changed afterwards must survive smoothing (used to crash with an
+    empty-array reshape in gaussian_smooth)."""
+    sli = SmoothedLinearInterpolator([(0.0, 3.5)], smoothing=0.25, fps=30)
+    assert sli(0.0) == pytest.approx(3.5)
+    sri = SmoothedRotationInterpolator([(0.0, np.eye(3))])
+    assert np.allclose(sri(0.0), np.eye(3))
+
+
+def test_smoothed_short_stream_survives():
+    """Last event inside the first frame period (t_end*fps < 1) used to
+    produce an empty dense grid."""
+    sli = SmoothedLinearInterpolator([(0.0, 1.0), (0.01, 2.0)],
+                                     smoothing=0.25, fps=30)
+    assert np.isfinite(sli(0.0))

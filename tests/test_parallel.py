@@ -216,3 +216,26 @@ def test_from_process_local_padded_len_validation(data):
     im3, _ = ds3.render_presorted(matrix, SCALE)
     np.testing.assert_allclose(np.asarray(im3), np.asarray(im2), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_multi_process_presorted_degrades_gracefully(data, monkeypatch):
+    """On a real pod (process_count > 1) the automatic render paths cannot
+    negotiate padded_local_len, so supports_presorted() must report False
+    (falling back to the unsorted block renderer) instead of letting
+    ensure_presorted() raise mid-frame — unless the caller already built
+    the slabs with an agreed length (code-review round 2)."""
+    import jax
+    ps, vals, matrix = data
+    ds = _process_local_splatter(ps, vals, 8)
+    ds2 = _process_local_splatter(ps, vals, 8)
+    ds2.ensure_presorted()  # built while "single-process"
+    natural = ds2._presorted["local_n"]
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    assert not ds.supports_presorted()
+    assert ds.presorted_layout is None
+    # explicit agreed length still enables the fast path
+    ds.ensure_presorted(padded_local_len=natural)
+    assert ds.supports_presorted()
+    assert ds.presorted_layout is not None
+    # slabs built before the pod grew keep working
+    assert ds2.supports_presorted()

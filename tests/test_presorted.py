@@ -335,3 +335,31 @@ def test_interactive_columns_zoomed_culling(snap):
     corr = np.corrcoef(im_cols[..., 0].ravel(),
                        im_export[..., 0].ravel())[0, 1]
     assert corr > 0.9999
+
+
+def test_min_slice_width_requires_dividing_power():
+    """Safe merge factors are the powers of two DIVIDING run_quantum/
+    pad_group: a non-power-of-two ratio like 3 pads runs to 3-group
+    multiples, which 2-aligned merged windows straddle — the only safe
+    width there is pad_group itself (code-review round 2)."""
+    base = dict(order=np.arange(0), dst=np.arange(0), n_out=0,
+                buckets=np.arange(0, dtype=np.int32))
+    mk = lambda rq: morton.PresortedLayout(pad_group=512, run_quantum=rq,
+                                           **base)
+    assert morton.min_slice_width(mk(512)) == 512
+    assert morton.min_slice_width(mk(1024)) == 256
+    assert morton.min_slice_width(mk(4096)) == 64
+    assert morton.min_slice_width(mk(3 * 512)) == 512   # 2 does not divide 3
+    assert morton.min_slice_width(mk(6 * 512)) == 256   # 2 | 6, 4 does not
+    assert morton.min_slice_width(mk(12 * 512)) == 128  # 4 | 12, 8 does not
+    assert morton.min_slice_width(mk(500)) == 512       # not a pg multiple
+
+
+def test_slice_widths_decomposition():
+    base = dict(order=np.arange(0), dst=np.arange(0), n_out=0,
+                buckets=np.arange(0, dtype=np.int32))
+    layout = morton.PresortedLayout(pad_group=512, run_quantum=4096, **base)
+    assert morton.slice_widths(layout) == [512, 256, 128, 64]
+    layout3 = morton.PresortedLayout(pad_group=512, run_quantum=3 * 512,
+                                     **base)
+    assert morton.slice_widths(layout3) == [512]

@@ -182,6 +182,12 @@ def test_recorder_roundtrip(tmp_path):
     rec2.save_mp4(str(mp4), fps=10, resolution=(96, 64), smooth=False)
     assert os.path.getsize(mp4) > 0
 
+    # smoothed replay (the default) must survive streams whose property
+    # never changed after the opening t=0 event (rotation-only recordings)
+    frames = list(rec2._replay(fps=10, resolution=(96, 64), smooth=True))
+    assert len(frames) >= 1
+    assert frames[0].shape == (64, 96, 3)
+
 
 def test_status_and_crosshairs(vis):
     vis.show_status = True

@@ -102,20 +102,36 @@ class PresortedLayout:
 def min_slice_width(layout: "PresortedLayout", floor: int = 64) -> int:
     """Smallest safe column-slice width for a layout.
 
-    Slicing ``width`` columns merges ``pad_group/width`` adjacent groups
-    into one splat group; the merged group stays single-level only if no
-    width-aligned window of that many groups straddles a run boundary,
-    which run padding to ``k*pad_group`` guarantees for merges up to the
-    largest power of two <= k.
+    Slicing ``width`` columns merges ``m = pad_group/width`` adjacent
+    groups into one splat group; the merged group stays single-level only
+    if no m-aligned window of m groups straddles a run boundary.  Run
+    padding to ``k*pad_group`` guarantees that exactly when m divides k,
+    so the safe merges are the powers of two *dividing* k (not merely
+    <= k: k=3 pads runs to 3-group multiples, whose boundaries 2-aligned
+    windows do straddle).
     """
     pg = layout.pad_group
     if layout.run_quantum % pg:
         return pg
     ratio = layout.run_quantum // pg
     p = 1
-    while p * 2 <= ratio:
+    while ratio % (p * 2) == 0:
         p *= 2
     return max(pg // p, floor)
+
+
+def slice_widths(layout: "PresortedLayout", floor: int = 64) -> list[int]:
+    """Descending power-of-two column-slice widths for decomposing a column
+    range: ``[pad_group, pad_group/2, ..., min_slice_width]``.  The single
+    source of truth for every column-LOD render path (single-chip, surface,
+    and both mesh variants)."""
+    widths = []
+    w = layout.pad_group
+    lo = min_slice_width(layout, floor)
+    while w >= lo:
+        widths.append(w)
+        w //= 2
+    return widths
 
 
 def build_presorted(pos_smooth: np.ndarray, pad_group: int = 512,

@@ -95,12 +95,17 @@ def project(pos_smooth: jnp.ndarray, matrix: jnp.ndarray, resolution: int,
     z01 (clip depth in [0, 1] when visible), h_px (smoothing length in
     pixels), visible mask (z-culling as the rasterizer would do).
     """
-    xyz1 = jnp.concatenate([pos_smooth[:, :3],
-                            jnp.ones_like(pos_smooth[:, :1])], axis=1)
-    clip = xyz1 @ matrix.T  # (N, 4)
-    cx = (clip[:, 0] + 1.0) * (resolution / 2.0) - 0.5
-    cy = (1.0 - clip[:, 1]) * (resolution / 2.0) - 0.5
-    z01 = clip[:, 2]
+    # explicit linear combination instead of concat-ones + (N,4)@(4,4):
+    # the concat materializes a 16B/particle copy and the tiny-K dot pads
+    # to MXU tiles; three 4-term FMAs fuse into the single elementwise pass
+    # XLA already makes over the columns (the w row is an affine constant 1)
+    x, y, z = pos_smooth[:, 0], pos_smooth[:, 1], pos_smooth[:, 2]
+    m = matrix
+    clip_x = x * m[0, 0] + y * m[0, 1] + z * m[0, 2] + m[0, 3]
+    clip_y = x * m[1, 0] + y * m[1, 1] + z * m[1, 2] + m[1, 3]
+    z01 = x * m[2, 0] + y * m[2, 1] + z * m[2, 2] + m[2, 3]
+    cx = (clip_x + 1.0) * (resolution / 2.0) - 0.5
+    cy = (1.0 - clip_y) * (resolution / 2.0) - 0.5
     h_px = pos_smooth[:, 3] * (resolution / (2.0 * scale))
     visible = (z01 >= 0.0) & (z01 <= 1.0) & (h_px > 0.0) & jnp.isfinite(h_px)
     return cx, cy, z01, h_px, visible

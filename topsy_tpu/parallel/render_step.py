@@ -213,7 +213,18 @@ class DistributedSplatter:
 
     def supports_presorted(self) -> bool:
         """True for single-host construction (global host arrays kept) AND
-        for from_process_local (each process presorts its own rows)."""
+        for from_process_local (each process presorts its own rows).
+
+        With more than one process, building the slabs needs an agreed
+        ``padded_local_len`` (see ensure_presorted), which the automatic
+        render paths cannot negotiate — so unless the caller already built
+        them explicitly, report False and let those paths fall back to the
+        unsorted block renderer instead of raising mid-frame."""
+        if self.has_presorted():
+            return True
+        if (jax.process_count() > 1
+                and getattr(self, "_host_pos_smooth", None) is None):
+            return False
         return (getattr(self, "_host_pos_smooth", None) is not None
                 or getattr(self, "_local_pos_smooth", None) is not None)
 
@@ -236,8 +247,13 @@ class DistributedSplatter:
         agree on ``padded_local_len`` beforehand (allreduce-max of the
         natural lengths); single-process needs neither.
         """
-        if self._presorted is not None or not self.supports_presorted():
+        if self._presorted is not None:
             return
+        if (self._host_pos_smooth is None
+                and getattr(self, "_local_pos_smooth", None) is None):
+            return  # construction kept no host rows; nothing to presort
+        if padded_local_len is None and not self.supports_presorted():
+            return  # multi-process without an agreed length: fast paths off
         from ..ops import morton
         sharding = NamedSharding(self.mesh, P(self.axis))
 
@@ -341,7 +357,11 @@ class DistributedSplatter:
 
     @property
     def presorted_layout(self):
-        """The PresortedLayout backing the slabs (after ensure_presorted)."""
+        """The PresortedLayout backing the slabs (after ensure_presorted);
+        None when the slabs cannot be built automatically (multi-process
+        without an agreed padded_local_len)."""
+        if not self.supports_presorted():
+            return None
         self.ensure_presorted()
         return self._presorted["layout"] if self._presorted else None
 
@@ -454,7 +474,7 @@ class DistributedSplatter:
         the mesh; returns (image (res, res, C), dropped).  Pieces combine
         host-side with the same strictly-greater depth compare as the
         single-chip renderer."""
-        from ..ops.morton import min_slice_width
+        from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._presorted
         layout = ps["layout"]
@@ -465,12 +485,7 @@ class DistributedSplatter:
         total = None
         dropped = jnp.int32(0)
         off = 0
-        widths = []
-        w = layout.pad_group
-        while w >= min_slice_width(layout):
-            widths.append(w)
-            w //= 2
-        for width in widths:
+        for width in slice_widths(layout):
             while ncols - off >= width:
                 step = steps.get(width)
                 if step is None:
@@ -497,7 +512,7 @@ class DistributedSplatter:
         """Render whole columns [col0, col0+ncols) across the mesh,
         decomposed into power-of-two slice widths; returns (image, dropped).
         """
-        from ..ops.morton import min_slice_width
+        from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._presorted
         layout = ps["layout"]
@@ -505,12 +520,7 @@ class DistributedSplatter:
         total = None
         dropped = jnp.int32(0)
         off = 0
-        widths = []
-        w = layout.pad_group
-        while w >= min_slice_width(layout):
-            widths.append(w)
-            w //= 2
-        for width in widths:
+        for width in slice_widths(layout):
             while ncols - off >= width:
                 step = self._column_steps.get(width)
                 if step is None:

@@ -35,7 +35,9 @@ def gaussian_smooth(sample, t_end, smoothing, fps):
     seconds (support +-3 sigma, edges held constant).  Returns the smoothed
     ``(time, value)`` list on the same grid.
     """
-    n = int(np.floor(t_end * fps))
+    # streams for properties never touched while recording end at their
+    # single t=0 event; clamp so the dense grid is never empty
+    n = max(1, int(np.floor(t_end * fps)))
     dense = np.asarray([sample(i / fps) for i in range(n)], dtype=float)
     shape = dense.shape[1:]
 
@@ -102,21 +104,28 @@ class RotationInterpolator(LinearInterpolator):
 
 
 class SmoothedLinearInterpolator(LinearInterpolator):
-    """Linear sampling of the Gaussian-smoothed stream."""
+    """Linear sampling of the Gaussian-smoothed stream.
+
+    Streams with fewer than two events are constant — smoothing is an
+    identity there, so they pass through untouched (every recorded stream
+    opens with one t=0 event; a property never changed afterwards must not
+    crash the dense-grid machinery)."""
 
     def __init__(self, timestream, smoothing=0.25, fps=30):
-        dense = gaussian_smooth(LinearInterpolator(timestream),
-                                timestream[-1][0], smoothing, fps)
-        super().__init__(dense)
+        if len(timestream) > 1:
+            timestream = gaussian_smooth(LinearInterpolator(timestream),
+                                         timestream[-1][0], smoothing, fps)
+        super().__init__(timestream)
 
 
 class SmoothedRotationInterpolator(RotationInterpolator):
     """Smoothed matrix stream, re-orthogonalized at every sample."""
 
     def __init__(self, timestream, smoothing=0.25, fps=30):
-        dense = gaussian_smooth(LinearInterpolator(timestream),
-                                timestream[-1][0], smoothing, fps)
-        super().__init__(dense)
+        if len(timestream) > 1:
+            timestream = gaussian_smooth(LinearInterpolator(timestream),
+                                         timestream[-1][0], smoothing, fps)
+        super().__init__(timestream)
 
 
 class StepInterpolator(Interpolator):

@@ -136,11 +136,19 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
                                            start, count, cell_mask=mask)
 
     def _get_depth_renderer(self):
+        # cached for the same reason as SPHRenderer._get_depth_renderer —
+        # and more so: a fresh instance per probe would rebuild the
+        # DistributedSplatter (full device_put of every shard) and re-jit
+        # the shard_map pipeline through the remote compile service.
         import copy
-        r = DistributedDepthSPHRenderer(
-            self._store, None, self._resolution, self._mesh,
-            wrapping=self._wrapping, backend=self._backend,
-            share_render_progression=copy.copy(self._render_progression))
+        r = getattr(self, "_depth_renderer", None)
+        if r is None:
+            r = DistributedDepthSPHRenderer(
+                self._store, None, self._resolution, self._mesh,
+                wrapping=self._wrapping, backend=self._backend,
+                share_render_progression=copy.copy(self._render_progression))
+            self._depth_renderer = r
+        r._render_progression = copy.copy(self._render_progression)
         r.rotation_matrix = self.rotation_matrix
         r.position_offset = self.position_offset
         r.scale = self.scale
@@ -197,18 +205,23 @@ class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
         return first_block
 
 
-class DistributedPeriodicSPHRenderer(MeshSplatterMixin, PeriodicSPHRenderer):
+class DistributedPeriodicSPHRenderer(PeriodicSPHRenderer,
+                                     DistributedSPHRenderer):
     """Periodic lattice compositing of the mesh-rendered panel.
 
     The base panel is splatted across the mesh's particle shards and
-    psum-reduced over ICI exactly as DistributedSPHRenderer does; the
-    (2n+1)^3 lattice composite (reference: src/topsy/periodic_sph.py:74-88)
-    then runs on the reduced panel, so it needs no mesh awareness of its
-    own."""
+    psum-reduced over ICI exactly as DistributedSPHRenderer does (whose
+    _render_columns_range/_launch_block/_render_presorted this class
+    inherits — PeriodicSPHRenderer contributes only the lattice
+    post-processing); the (2n+1)^3 composite (reference:
+    src/topsy/periodic_sph.py:74-88) then runs on the reduced panel, so it
+    needs no mesh awareness of its own."""
 
     def __init__(self, store: ParticleStore, render_progression,
                  resolution: int, mesh, periodicity_scale: float,
                  backend: str | None = None):
-        super().__init__(store, render_progression, resolution, mesh,
-                         wrapping=True, backend=backend)
-        self._periodicity_scale = periodicity_scale
+        # PeriodicSPHRenderer.__init__ forwards mesh through **kwargs to
+        # MeshSplatterMixin (via the DistributedSPHRenderer leg of the MRO)
+        super().__init__(store, render_progression, resolution,
+                         periodicity_scale=periodicity_scale,
+                         backend=backend, mesh=mesh)

@@ -368,20 +368,14 @@ class SPHRenderer:
                               first_block: bool, sync_blocks: bool) -> bool:
         """Render columns [col0, col0+ncols), decomposed into power-of-two
         slice widths (each width compiles once)."""
-        from ..ops.morton import min_slice_width
+        from ..ops.morton import slice_widths
         store = self._store
         layout = store.presorted_layout
         pad_group = layout.pad_group
-        min_width = min_slice_width(layout)
         culling = (self._render_progression.get_selected_cell_mask()
                    is not None)
         off = 0
-        widths = []
-        w = pad_group
-        while w >= min_width:
-            widths.append(w)
-            w //= 2
-        for width in widths:
+        for width in slice_widths(layout):
             while ncols - off >= width:
                 with self._render_timer:
                     im, dropped = _render_block_columns(

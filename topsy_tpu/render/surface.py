@@ -176,19 +176,14 @@ class SurfaceSPHRenderer(SPHRenderer):
     def _render_columns_surface(self, matrix, scale, cut, col0: int,
                                 ncols: int, first_block: bool,
                                 sync_blocks: bool) -> bool:
-        from ..ops.morton import min_slice_width
+        from ..ops.morton import slice_widths
         store = self._store
         layout = store.presorted_layout
         pad_group = layout.pad_group
         culling = (self._render_progression.get_selected_cell_mask()
                    is not None)
         off = 0
-        widths = []
-        w = pad_group
-        while w >= min_slice_width(layout):
-            widths.append(w)
-            w //= 2
-        for width in widths:
+        for width in slice_widths(layout):
             while ncols - off >= width:
                 with self._render_timer:
                     im, dropped = _render_block_columns_surface(
