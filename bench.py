@@ -22,7 +22,7 @@ def main():
 
     from topsy_tpu import camera
     from topsy_tpu.loaders import TestDataLoader
-    from topsy_tpu.ops import morton, splat_atlas
+    from topsy_tpu.ops import morton, morton_device, splat_atlas
     from topsy_tpu.util import enable_persistent_compile_cache
 
     enable_persistent_compile_cache()
@@ -36,20 +36,33 @@ def main():
     mass = loader.get_mass()
     qty = loader.get_named_quantity("test-quantity")
     values_np = np.stack([mass, mass * qty], axis=1).astype(np.float32)
-    # the flagship export path: static (bucket, Morton) order, no per-frame
-    # sort (ops/morton.py); built once per snapshot
-    layout = morton.build_presorted(ps_np)
-    pos_smooth = jnp.asarray(layout.apply(ps_np, fill=morton.PAD_POS))
-    values = jnp.asarray(layout.apply(values_np))
-    buckets = jnp.asarray(layout.buckets)
+    # the flagship export path: static (bucket, Morton) order built ON
+    # DEVICE (ops/morton_device.py), transposed field layout, fused Pallas
+    # front-end + accumulation (ops/splat_feed.py, splat_pallas.py)
+    layout = morton_device.build_presorted_device(ps_np)
+    if layout is None:  # pathological fallback, never expected here
+        host = morton.build_presorted(ps_np)
+        pos_smooth = jnp.asarray(host.apply(ps_np, fill=morton.PAD_POS))
+        values = jnp.asarray(host.apply(values_np))
+        buckets = jnp.asarray(host.buckets)
+        G, n_out = host.pad_group, host.n_out
+    else:
+        pos_smooth = layout.apply(jnp.asarray(ps_np), fill=morton.PAD_POS)
+        values = layout.apply(jnp.asarray(values_np))
+        buckets = layout.buckets
+        G, n_out = layout.pad_group, layout.n_out
+    ng = n_out // G
+    fields = tuple(pos_smooth[:, k].reshape(ng, G) for k in range(4))
+    values_cm = tuple(values[:, c].reshape(ng, G) for c in range(2))
+    group_buckets = buckets.reshape(ng, G)[:, 0]
     matrix = jnp.asarray(
         camera.world_to_clip_matrix(np.eye(3), np.zeros(3), scale), jnp.float32)
 
-    fn = jax.jit(lambda ps, vals, m, b: splat_atlas.splat_atlas(
-        ps, vals, m, resolution, scale, presorted_buckets=b)[0])
+    fn = jax.jit(lambda f, v, m, b: splat_atlas.splat_atlas_fields(
+        f, v, m, resolution, scale, b)[0])
 
     # warm up / compile
-    im = fn(pos_smooth, values, matrix, buckets)
+    im = fn(fields, values_cm, matrix, group_buckets)
     jax.block_until_ready(im)
     float(np.asarray(im[0, 0, 0]))
 
@@ -61,7 +74,7 @@ def main():
     for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(reps):
-            im = fn(pos_smooth, values, matrix, buckets)
+            im = fn(fields, values_cm, matrix, group_buckets)
         # force full execution incl. readback sync
         float(np.asarray(im.sum()))
         dt = (time.perf_counter() - t0) / reps

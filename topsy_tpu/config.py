@@ -97,6 +97,12 @@ EXPORT_USE_PRESORTED = True
 # EXPORT renders use the static (smoothing-bucket, Morton) particle order
 # (ops/morton.py), skipping the per-frame sort entirely.
 
+EXPORT_USE_FEED = True
+# Presorted EXPORT renders run the fused Pallas front-end over the
+# transposed field layout (ops/splat_feed.py) — projection, coefficients,
+# anchors and flags in one bandwidth-bound pass.  Falls back to the XLA
+# front-end automatically off-TPU.
+
 INTERACTIVE_USE_PRESORTED = True
 # Interactive (CHANGE/REFINE) frames also skip the per-frame sort: particles
 # are shuffled within each presorted group, so LOD subsets are rendered as

@@ -61,6 +61,33 @@ def atlas_layout(pyramid: PyramidSpec):
 
 
 
+def make_group_contribution(lrk, C: int):
+    """Window-deposit closure for the XLA scan engine and the spill tiers."""
+
+    def group_contribution(ay_g, ax_g, inv_h_g, coef_g, w0_g, c0_g, rows, cols):
+        """(rows x G*rank) @ (G*rank x W*C) deposit for one particle group."""
+        n_rows = rows.shape[0]
+        dy = (w0_g + rows)[None, :] - ay_g[:, None]              # (G, R)
+        dx = (c0_g + cols)[None, :] - ax_g[:, None]              # (G, W)
+        ymask = (dy > -FOOT) & (dy <= FOOT)
+        xmask = (dx > -FOOT) & (dx <= FOOT)
+        ty2 = (dy * inv_h_g[:, None]) ** 2
+        tx2 = (dx * inv_h_g[:, None]) ** 2
+        tiny_g = (inv_h_g < 0)[:, None]                          # (G, 1)
+        P = profiles_select(ty2, tiny_g, lrk, signed=True) * ymask[None]
+        Q = profiles_select(tx2, tiny_g, lrk, signed=False) * xmask[None]
+        # fold channel coefficients into the (small) row-profile side instead
+        # of materializing a (K, G, W, C) tensor
+        PC = P[:, :, :, None] * coef_g[None, :, None, :]         # (K, G, R, C)
+        PC2 = PC.reshape(-1, n_rows * C)                         # (K*G, R*C)
+        Q2 = Q.reshape(PC2.shape[0], -1)                         # (K*G, W)
+        out = jnp.einsum("xr,xw->rw", PC2, Q2,
+                         preferred_element_type=jnp.float32)
+        return out.reshape(n_rows, C, -1).transpose(1, 0, 2)     # (C, R, W)
+
+    return group_contribution
+
+
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
                 depth_channel=False, engine: str | None = None,
@@ -224,26 +251,7 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
             & (ax_lo >= c0_rep))
     coef_fit = jnp.where(fits[:, None], coef_s, 0.0)
 
-    def group_contribution(ay_g, ax_g, inv_h_g, coef_g, w0_g, c0_g, rows, cols):
-        """(rows x G*rank) @ (G*rank x W*C) deposit for one particle group."""
-        n_rows = rows.shape[0]
-        dy = (w0_g + rows)[None, :] - ay_g[:, None]              # (G, R)
-        dx = (c0_g + cols)[None, :] - ax_g[:, None]              # (G, W)
-        ymask = (dy > -FOOT) & (dy <= FOOT)
-        xmask = (dx > -FOOT) & (dx <= FOOT)
-        ty2 = (dy * inv_h_g[:, None]) ** 2
-        tx2 = (dx * inv_h_g[:, None]) ** 2
-        tiny_g = (inv_h_g < 0)[:, None]                          # (G, 1)
-        P = profiles_select(ty2, tiny_g, lrk, signed=True) * ymask[None]
-        Q = profiles_select(tx2, tiny_g, lrk, signed=False) * xmask[None]
-        # fold channel coefficients into the (small) row-profile side instead
-        # of materializing a (K, G, W, C) tensor
-        PC = P[:, :, :, None] * coef_g[None, :, None, :]         # (K, G, R, C)
-        PC2 = PC.reshape(-1, n_rows * C)                         # (K*G, R*C)
-        Q2 = Q.reshape(PC2.shape[0], -1)                         # (K*G, W)
-        out = jnp.einsum("xr,xw->rw", PC2, Q2,
-                         preferred_element_type=jnp.float32)
-        return out.reshape(n_rows, C, -1).transpose(1, 0, 2)     # (C, R, W)
+    group_contribution = make_group_contribution(lrk, C)
 
     rows_win = jnp.arange(window_rows, dtype=jnp.float32)
     cols_win = jnp.arange(WINDOW_COLS, dtype=jnp.float32)
@@ -301,15 +309,43 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         return atlas
 
     # ---- spill pass: particles too sparse for their group window ----------
-    # re-run the same windowed machinery with much smaller groups on the
-    # spilled subset.  Compaction is GROUP-granular: top-k over per-group
-    # spill counts (n_groups keys) + a contiguous row gather — never a
-    # full-length particle sort, which would cost as much as the main sort.
-    # Groups that small fit their windows except in pathologically empty
-    # regions, whose few stragglers are dropped with an explicit count.
     spilled = ~fits & (jnp.abs(coef_s).sum(axis=1) > 0.0)
     per_group_spill = spilled.reshape(n_groups, G).sum(axis=1)
     n_spill = per_group_spill.sum()
+    atlas, dropped = spill_pass(
+        atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
+        n_spill, C=C, G=G, engine=engine, atlas_rows=atlas_rows,
+        atlas_cols=atlas_cols, window_rows=window_rows,
+        group_contribution=group_contribution)
+
+    if _stop_after == "spill":
+        return atlas, dropped
+    return collapse_atlas(atlas, pyramid), dropped
+
+
+def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
+               n_spill, *, C, G, engine, atlas_rows, atlas_cols,
+               window_rows, group_contribution=None):
+    """Deposit spilled particles (too sparse for their group's window).
+
+    Re-runs the same windowed machinery with much smaller groups on the
+    spilled subset.  Compaction is GROUP-granular: top-k over per-group
+    spill counts (n_groups keys) + a contiguous row gather — never a
+    full-length particle sort, which would cost as much as the main sort.
+    Groups that small fit their windows except in pathologically empty
+    regions, whose few stragglers are dropped with an explicit count.
+
+    ay_s/ax_s/inv_h_s: (n_pad,) anchors; coef_s: (n_pad, C) coefficients,
+    or a C-list of (n_pad,) channel arrays (the feed-kernel path — avoids
+    materializing a lane-hostile (n_pad, C) interleave; entries of
+    non-spilled particles may be anything, they are masked by ``spilled``);
+    group_contribution: the window-deposit closure, required for the 'scan'
+    engine only.  Returns (atlas, dropped_count).
+    """
+    from .splat_pallas import SUBGROUPS
+    if group_contribution is None:
+        group_contribution = make_group_contribution(kernels.lowrank_kernel(), C)
+    n_groups = per_group_spill.shape[0]
     G_SPILL = max(16, G // 8)
     k_groups = min(n_groups, config.SPLAT_SPILL_GROUP_CAP)
     # tier-2 pallas group count must stay a SUBGROUPS multiple
@@ -328,7 +364,13 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         s_ay = gather(ay_s)[:, 0]
         s_ax = gather(ax_s)[:, 0]
         s_ih = gather(inv_h_s)[:, 0]
-        s_coef = jnp.where(valid[:, None], gather(coef_s), 0.0)
+        if isinstance(coef_s, (list, tuple)):
+            # channels gathered separately, interleaved only after the
+            # spill_cap-sized compaction
+            s_coef = jnp.stack([gather(cc)[:, 0] for cc in coef_s], axis=-1)
+            s_coef = jnp.where(valid[:, None], s_coef, 0.0)
+        else:
+            s_coef = jnp.where(valid[:, None], gather(coef_s), 0.0)
 
         n_sg = spill_cap // G_SPILL
         ay2 = s_ay.reshape(n_sg, G_SPILL)
@@ -428,11 +470,114 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
         not_gathered = n_spill - valid.sum()
         return atlas, not_gathered + jnp.maximum(n3 - T3, 0)
 
-    atlas, dropped = jax.lax.cond(n_spill > 0, do_spill,
-                                  lambda a: (a, jnp.int32(0)), atlas)
+    return jax.lax.cond(n_spill > 0, do_spill,
+                        lambda a: (a, jnp.int32(0)), atlas)
 
-    if _stop_after == "spill":
-        return atlas, dropped
+
+def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
+                       group_buckets, mask=None,
+                       pyramid: PyramidSpec | None = None,
+                       depth_channel=False, piece=None, prange=None,
+                       engine: str | None = None):
+    """The fastest presorted splat path: fused Pallas front-end + kernel.
+
+    Same image contract as ``splat_atlas(..., presorted_buckets=...)`` but
+    over the *transposed field* layout, with the whole front-end fused into
+    one bandwidth-bound Pallas pass (ops/splat_feed.py):
+
+    fields: (x, y, z, h) each (n_groups, GROUP) f32 presorted matrices;
+    values_cm: tuple of C per-channel (n_groups, GROUP) f32 matrices;
+    group_buckets: (n_groups,) int32 smoothing bucket per group (buckets are
+    constant within a group because run padding is a pad_group multiple,
+    ops/morton.py);
+    mask: optional (n_groups, GROUP) f32 cull mask (>0 keeps) — computed
+    once per *selection change*, not per frame;
+    piece: optional (g0, piece_groups) rendering only groups
+    [g0, g0+piece_groups) — the EXPORT piece loop without dynamic_slice
+    copies.  g0 must be a multiple of the feed block (64 groups, or the
+    largest power of two dividing piece_groups); piece_groups is static
+    and a SUBGROUPS multiple;
+    prange: optional (start, count) restricting active particles to global
+    slots [start, start+count) (partial EXPORT chunks).
+
+    Returns (image (res, res, C), spilled_dropped count).
+    """
+    from . import splat_feed, splat_pallas
+    from .splat import exp2_int, levels_from_buckets
+
+    x, _, _, _ = fields
+    n_groups, G = x.shape
+    C_in = len(values_cm)
+    C = C_in + (1 if depth_channel else 0)
+    if pyramid is None:
+        pyramid = default_pyramid(resolution)
+    if engine is None:
+        engine = "pallas" if jax.default_backend() == "tpu" else "scan"
+    interpret = jax.default_backend() != "tpu"
+    row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
+    window_rows = 96
+    sentinel_ay = float(atlas_rows - ROW_PAD + FOOT + 2.0)
+
+    px_per_world = resolution / (2.0 * scale)
+    lev = levels_from_buckets(group_buckets, px_per_world, pyramid.num_levels)
+    pergroup = jnp.stack(
+        [group_buckets.astype(jnp.float32),
+         exp2_int(-lev), exp2_int(lev),
+         jnp.asarray(row_offs, jnp.float32)[lev],
+         jnp.asarray(pyramid.level_resolutions, jnp.float32)[lev],
+         jnp.zeros((n_groups,), jnp.float32),
+         jnp.zeros((n_groups,), jnp.float32),
+         jnp.zeros((n_groups,), jnp.float32)], axis=1)
+    m = jnp.asarray(matrix, jnp.float32)
+    ppw = jnp.asarray(px_per_world, jnp.float32)
+    params_f = jnp.concatenate(
+        [m[0, :4], m[1, :4], m[2, :4],
+         jnp.stack([ppw, 1.0 / ppw, jnp.float32(0), jnp.float32(0)])])
+
+    if piece is None:
+        g0 = jnp.int32(0)
+        piece_groups = n_groups
+    else:
+        g0, piece_groups = piece
+    if prange is None:
+        start = jnp.int32(0)
+        count = jnp.int32(0)
+        ranged = False
+    else:
+        start, count = prange
+        ranged = True
+    sp_i = jnp.stack([jnp.asarray(g0, jnp.int32),
+                      jnp.asarray(start, jnp.int32),
+                      jnp.asarray(count, jnp.int32), jnp.int32(0)])
+
+    (ay, ax, ih, cfit, cspill, w0, c0, ce, flags,
+     nspill) = splat_feed.splat_feed_pallas(
+        fields, values_cm, pergroup, params_f, sp_i, mask,
+        C_in=C_in, depth_channel=depth_channel, resolution=resolution,
+        atlas_rows=atlas_rows, atlas_cols=atlas_cols,
+        window_rows=window_rows, band=BAND, col_pad=float(COL_PAD),
+        foot=float(FOOT), piece_groups=piece_groups, ranged=ranged,
+        has_mask=mask is not None, interpret=interpret,
+        sentinel_ay=sentinel_ay)
+
+    atlas = splat_pallas.accumulate_groups_pallas(
+        ay, ax, ih, cfit, w0, c0, ce, flags, atlas_rows=atlas_rows,
+        atlas_cols=atlas_cols, C=C, group=G, interpret=interpret,
+        window_rows=window_rows)
+
+    # NOTE: no extra cond around spill_pass — it guards itself, and nesting
+    # a second conditional around the side-effecting pallas calls costs a
+    # measured ~7 ms/frame of lost pipelining on v5e
+    chans = [cc.reshape(-1) for cc in cspill]
+    spilled = jnp.abs(chans[0])
+    for cc in chans[1:]:
+        spilled = spilled + jnp.abs(cc)
+    spilled = spilled > 0.0
+    atlas, dropped = spill_pass(
+        atlas, ay.reshape(-1), ax.reshape(-1), ih.reshape(-1), chans,
+        spilled, nspill, nspill.sum(), C=C, G=G, engine=engine,
+        atlas_rows=atlas_rows, atlas_cols=atlas_cols,
+        window_rows=window_rows)
     return collapse_atlas(atlas, pyramid), dropped
 
 

@@ -301,7 +301,9 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
                              window_rows: int = WINDOW_ROWS):
     """Run the fused accumulation.
 
-    ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G);
+    ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G), or a
+    C-list/tuple of (n_groups, G) per-channel arrays (the feed kernel emits
+    channels separately — passing them through avoids a relayout);
     w0: (n_groups,) int32 row starts (8-aligned); c0: (n_groups,) int32 col
     starts (COL_ALIGN-aligned); ce: (n_groups,) int32 exact column bases with
     ``c0 <= ce <= c0 + window_cols - PROFILE_COLS`` (profiles are evaluated
@@ -345,8 +347,12 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
     ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
     ax_b = ax_g.reshape(n_steps, SUBGROUPS, group)
     ih_b = ih_g.reshape(n_steps, SUBGROUPS, group)
-    coef_bs = [coef_g[:, c, :].reshape(n_steps, SUBGROUPS, group)
-               for c in range(C)]
+    if isinstance(coef_g, (list, tuple)):
+        coef_bs = [cc.reshape(n_steps, SUBGROUPS, group) for cc in coef_g]
+        assert len(coef_bs) == C
+    else:
+        coef_bs = [coef_g[:, c, :].reshape(n_steps, SUBGROUPS, group)
+                   for c in range(C)]
 
     row_spec = pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(

@@ -137,6 +137,22 @@ def _render_block_columns(pos_smooth, values, buckets, cell_ids, cell_table,
                                    presorted_buckets=slice_cols(buckets))
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "piece_groups", "whole",
+                                    "depth_channel"))
+def _render_block_fields(fields, values_cm, group_buckets, mask, matrix,
+                         scale, g0, *, resolution, piece_groups, whole,
+                         depth_channel):
+    """Render groups [g0, g0+piece_groups) through the fused feed kernel
+    (ops/splat_feed.py) — the fastest EXPORT path: one bandwidth-bound
+    front-end pass, no dynamic_slice piece copies, cull mask precomputed
+    per selection change rather than per frame."""
+    return splat_atlas.splat_atlas_fields(
+        fields, values_cm, matrix, resolution, scale, group_buckets,
+        mask=mask, depth_channel=depth_channel,
+        piece=None if whole else (g0, piece_groups))
+
+
 def default_backend() -> str:
     return "atlas"
 
@@ -405,6 +421,9 @@ class SPHRenderer:
     def _render_presorted(self, matrix, scale, first_block: bool):
         store = self._store
         store.ensure_presorted()
+        if self._use_feed():
+            self._render_presorted_fields(matrix, scale, first_block)
+            return
         total = store.n_presorted
         bucket = bucket_size(total, total)
         for piece in range(0, total, bucket):
@@ -416,6 +435,65 @@ class SPHRenderer:
                     self._cell_table, matrix, scale,
                     jnp.int32(piece), jnp.int32(min(bucket, total - piece)),
                     resolution=self._resolution, bucket=bucket,
+                    depth_channel=self._depth_channel)
+                self._dropped_splats = dropped
+                if first_block:
+                    self._image = im
+                    first_block = False
+                else:
+                    self._image = self._image + im
+        with self._render_timer:
+            jax.block_until_ready(self._image)
+
+    def _use_feed(self) -> bool:
+        """The fused feed-kernel path runs real Pallas only (off-TPU the
+        interpreter would be slower than the XLA front-end)."""
+        if not config.EXPORT_USE_FEED:
+            return False
+        if getattr(self, "_force_feed", False):
+            return True  # tests exercise the wiring via the interpreter
+        return jax.default_backend() == "tpu"
+
+    def _feed_cull_mask(self):
+        """(n_groups, pad_group) f32 cull mask for the feed kernel, rebuilt
+        only when the cell selection changes (never per frame — the
+        per-particle table gather costs ~6 ms/M on v5e)."""
+        prog = self._render_progression
+        if prog.get_selected_cell_mask() is None:
+            self._fields_mask = None
+            self._fields_mask_gen = None
+            return None
+        gen = (getattr(prog, "selection_generation", None),
+               self._store.n_presorted)
+        if getattr(self, "_fields_mask_gen", None) != gen:
+            store = self._store
+            G = store.presorted_layout.pad_group
+            ng = store.n_presorted // G
+            self._fields_mask = self._cell_table[
+                store.cell_ids_presorted].astype(jnp.float32).reshape(ng, G)
+            self._fields_mask_gen = gen
+        return self._fields_mask
+
+    def _render_presorted_fields(self, matrix, scale, first_block: bool):
+        """Sort-free EXPORT through the fused feed kernel: transposed field
+        arrays, piece loop by group offsets (no dynamic_slice copies)."""
+        from ..ops import splat_atlas
+        store = self._store
+        fields = store.presorted_fields()
+        values_cm = store.presorted_values_cm_for(self._buffer_name)
+        gb = store.presorted_group_buckets
+        mask = self._feed_cull_mask()
+        G = store.presorted_layout.pad_group
+        ng = store.n_presorted // G
+        piece_g = max(8, bucket_size(store.n_presorted,
+                                     store.n_presorted) // G)
+        for g0 in range(0, ng, piece_g):
+            pg = min(piece_g, ng - g0)
+            with self._render_timer:
+                im, dropped = _render_block_fields(
+                    fields, values_cm, gb, mask, matrix, scale,
+                    jnp.int32(g0), resolution=self._resolution,
+                    piece_groups=pg, whole=(pg == ng),
                     depth_channel=self._depth_channel)
                 self._dropped_splats = dropped
                 if first_block:

@@ -117,20 +117,30 @@ class ParticleStore:
 
     def ensure_presorted(self):
         """Lazily build the static (smoothing-bucket, Morton) ordering used
-        by sort-free EXPORT renders (ops/morton.py).  One host-side lexsort
-        per snapshot, cached."""
+        by sort-free EXPORT renders.  Built ON DEVICE (ops/morton_device.py:
+        a handful of lax.sorts + cumulative passes, ~0.3 s at 2^24) with the
+        host numpy path (ops/morton.py) as fallback; cached per snapshot."""
         if getattr(self, "_presorted_layout", None) is not None:
             return
-        from ..ops import morton
-        layout = morton.build_presorted(self._loader.get_pos_smooth())
+        from ..ops import morton, morton_device
+        ps = self._loader.get_pos_smooth().astype(np.float32)
+        layout = morton_device.build_presorted_device(ps)
+        if layout is None:
+            layout = morton.build_presorted(ps)
         self._presorted_layout = layout
         self.n_presorted = layout.n_out
-        self.pos_smooth_presorted = self._put(
-            layout.apply(self._loader.get_pos_smooth().astype(np.float32),
-                         fill=morton.PAD_POS))
-        self.presorted_buckets = self._put(layout.buckets)
-        self.cell_ids_presorted = self._put(
-            layout.apply(np.asarray(self.cell_ids[:self.n]).astype(np.int32)))
+        if isinstance(layout, morton_device.DevicePresortedLayout):
+            self.pos_smooth_presorted = layout.apply(
+                self.pos_smooth, fill=morton.PAD_POS)
+            self.presorted_buckets = layout.buckets
+            self.cell_ids_presorted = layout.apply(self.cell_ids)
+        else:
+            self.pos_smooth_presorted = self._put(
+                layout.apply(ps, fill=morton.PAD_POS))
+            self.presorted_buckets = self._put(layout.buckets)
+            self.cell_ids_presorted = self._put(
+                layout.apply(np.asarray(self.cell_ids[:self.n])
+                             .astype(np.int32)))
         self._presorted_values = {}
         logger.info("Built presorted (bucket, Morton) order: %d -> %d slots",
                     self.n, self.n_presorted)
@@ -146,9 +156,53 @@ class ParticleStore:
         key = (buffer_name, self.values_version)
         cached = self._presorted_values.get(key)
         if cached is None:
-            vals = np.asarray(self.values_for(buffer_name))[:self.n]
-            cached = self._put(self._presorted_layout.apply(vals))
+            from ..ops import morton_device
+            layout = self._presorted_layout
+            if isinstance(layout, morton_device.DevicePresortedLayout):
+                # device-side permute: no host round trip
+                cached = layout.apply(self.values_for(buffer_name))
+            else:
+                vals = np.asarray(self.values_for(buffer_name))[:self.n]
+                cached = self._put(layout.apply(vals))
             self._presorted_values = {key: cached}
+        return cached
+
+    # -- transposed presorted fields (the fused feed-kernel layout) -------------
+
+    def presorted_fields(self):
+        """(x, y, z, h) as (n_groups, pad_group) device matrices — the
+        layout ops/splat_feed.py consumes (contiguous per-field blocks,
+        group reductions as row reductions)."""
+        f = getattr(self, "_presorted_fields", None)
+        if f is None:
+            self.ensure_presorted()
+            G = self._presorted_layout.pad_group
+            ng = self.n_presorted // G
+            ps = self.pos_smooth_presorted
+            f = tuple(ps[:, k].reshape(ng, G) for k in range(4))
+            self._presorted_fields = f
+            self._presorted_group_buckets = \
+                self.presorted_buckets.reshape(ng, G)[:, 0]
+        return f
+
+    @property
+    def presorted_group_buckets(self):
+        """(n_groups,) smoothing bucket per group (constant within groups
+        because run padding is a pad_group multiple, ops/morton.py)."""
+        self.presorted_fields()
+        return self._presorted_group_buckets
+
+    def presorted_values_cm_for(self, buffer_name: str):
+        """Channel-major presorted values: C x (n_groups, pad_group)."""
+        key = (buffer_name, self.values_version)
+        cached = getattr(self, "_presorted_values_cm", {}).get(key)
+        if cached is None:
+            vals = self.presorted_values_for(buffer_name)
+            G = self._presorted_layout.pad_group
+            ng = self.n_presorted // G
+            cached = tuple(vals[:, c].reshape(ng, G)
+                           for c in range(vals.shape[1]))
+            self._presorted_values_cm = {key: cached}
         return cached
 
     def cell_mask_table(self, selected_mask: np.ndarray | None):
