@@ -239,3 +239,32 @@ def test_multi_process_presorted_degrades_gracefully(data, monkeypatch):
     assert ds.presorted_layout is not None
     # slabs built before the pod grew keep working
     assert ds2.supports_presorted()
+
+
+def test_feed_path_multichip_matches_legacy(data):
+    """The mesh fused-feed paths (transposed-field slabs through
+    ops/splat_feed.py under shard_map) reproduce the legacy mesh presorted
+    and column renders."""
+    ps, vals, matrix = data
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES)
+    im_leg, d0 = sp.render_presorted(matrix, SCALE)
+    sp._force_feed = True
+    assert sp._use_feed()
+    im_feed, d1 = sp._render_presorted_fields(matrix, SCALE, None)
+    assert int(d0) == 0 and int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_feed = np.asarray(im_feed)
+    assert im_feed[..., 0].sum() == pytest.approx(im_leg[..., 0].sum(),
+                                                  rel=1e-3)
+    assert np.abs(im_feed - im_leg).max() <= 0.01 * np.abs(im_leg).max()
+
+    im_c_leg, dc0 = sp.render_columns(matrix, SCALE, 128, 128)
+    im_c_feed, dc1 = sp._render_columns_fields(matrix, SCALE, 128, 128, None)
+    assert int(dc0) == 0 and int(dc1) == 0
+    im_c_leg = np.asarray(im_c_leg)
+    im_c_feed = np.asarray(im_c_feed)
+    assert im_c_feed[..., 0].sum() == pytest.approx(im_c_leg[..., 0].sum(),
+                                                    rel=1e-3)
+    assert np.abs(im_c_feed - im_c_leg).max() <= \
+        0.01 * np.abs(im_c_leg).max()

@@ -137,6 +137,28 @@ def test_fields_particle_range(presorted):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_fields_depth_channel_matches_legacy(presorted):
+    """The feed kernel's in-kernel depth channel (values0 * clip_z * w)
+    agrees with the legacy depth_channel path."""
+    ps, values, layout, ps_p, vals_p = presorted
+    fields, values_cm, group_buckets = _fields_of(ps_p, vals_p, layout)
+    matrix = _matrix(15.0)
+    im_leg, d0 = jax.jit(lambda a, b, m, k: splat_atlas.splat_atlas(
+        a, b, m, RES, SCALE, presorted_buckets=k, depth_channel=True))(
+        jnp.asarray(ps_p), jnp.asarray(vals_p), matrix,
+        jnp.asarray(layout.buckets))
+    im_f, d1 = jax.jit(lambda f, v, m, k: splat_atlas.splat_atlas_fields(
+        f, v, m, RES, SCALE, k, depth_channel=True))(
+        fields, values_cm, matrix, group_buckets)
+    assert int(d0) == 0
+    assert int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_f = np.asarray(im_f)
+    assert im_f.shape[-1] == 3
+    assert im_f[..., 2].sum() == pytest.approx(im_leg[..., 2].sum(), rel=1e-3)
+    assert np.abs(im_f - im_leg).max() <= 0.01 * np.abs(im_leg).max()
+
+
 def test_renderer_feed_path_matches_legacy():
     """_render_presorted_fields (the renderer wiring of the feed path)
     produces the same EXPORT image as the legacy presorted loop."""
@@ -159,6 +181,33 @@ def test_renderer_feed_path_matches_legacy():
     corr = np.corrcoef(np.nan_to_num(im_feed).ravel(),
                        np.nan_to_num(im_leg).ravel())[0, 1]
     assert corr > 0.999
+
+
+@pytest.mark.parametrize("width", [256, 128])
+def test_columns_fields_matches_legacy(presorted, width):
+    """The interactive column slice through the feed kernel agrees with
+    the legacy column path (same slice, same merged grouping)."""
+    from topsy_tpu.render.sph import (_render_block_columns,
+                                      _render_block_columns_fields)
+    ps, values, layout, ps_p, vals_p = presorted
+    fields, values_cm, group_buckets = _fields_of(ps_p, vals_p, layout)
+    matrix = _matrix(10.0)
+    pg = layout.pad_group
+
+    im_leg, d0 = _render_block_columns(
+        jnp.asarray(ps_p), jnp.asarray(vals_p), jnp.asarray(layout.buckets),
+        None, None, matrix, jnp.float32(SCALE), jnp.int32(128),
+        resolution=RES, width=width, depth_channel=False, pad_group=pg)
+    im_f, d1 = _render_block_columns_fields(
+        fields, values_cm, group_buckets, None, matrix, jnp.float32(SCALE),
+        jnp.int32(128), resolution=RES, width=width, depth_channel=False,
+        pad_group=pg)
+    assert int(d0) == 0
+    assert int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_f = np.asarray(im_f)
+    assert im_f[..., 0].sum() == pytest.approx(im_leg[..., 0].sum(), rel=1e-3)
+    assert np.abs(im_f - im_leg).max() <= 0.01 * np.abs(im_leg).max()
 
 
 def test_fields_mask_culls(presorted):

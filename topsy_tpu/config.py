@@ -88,6 +88,12 @@ SPLAT_ATLAS_COL_PAD = 16
 # padding cols on either side of the atlas (edge-clipping margin).
 
 SPLAT_SPILL_GROUP_CAP = 128
+
+SPLAT_FEED_LAUNCH_CAP = 1 << 24
+# per-launch particle cap for the fused feed-kernel EXPORT path.  The
+# binding constraint is the accumulation kernel's SMEM scalar prefetch
+# (5 int32 arrays per group, ~1MB SMEM): 32768 groups = 655KB.  The legacy
+# XLA front-end keeps the smaller 2^22 cap (render/store.MAX_BUCKET).
 # capacity (in main-pass groups) of the dense-fallback pass for particles
 # that do not fit their group's accumulation window (sparsely populated
 # regions).  Spills are compacted group-granularly (top-k over per-group

@@ -372,6 +372,16 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
         else:
             s_coef = jnp.where(valid[:, None], gather(coef_s), 0.0)
 
+        # NOTE (measured, do not "fix" casually): the within-group shuffle
+        # randomizes rows inside gathered groups, so G_SPILL subgroups span
+        # their group's whole row extent; at >= 2^24 a ~1000-straggler tier
+        # 3 results.  Row-sorting the compacted spills here removes the
+        # stragglers, and the 9-operand 65K sort costs only 0.69 ms alone —
+        # but INSIDE this cond branch (which contains the pallas tier-2
+        # call) it cost +15 ms/frame of lost pipelining at 2^22, the same
+        # pathology as nesting conds around pallas calls.  Leave tier 3 to
+        # handle them.
+
         n_sg = spill_cap // G_SPILL
         ay2 = s_ay.reshape(n_sg, G_SPILL)
         valid2 = valid.reshape(n_sg, G_SPILL)
@@ -579,6 +589,50 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
         atlas_rows=atlas_rows, atlas_cols=atlas_cols,
         window_rows=window_rows)
     return collapse_atlas(atlas, pyramid), dropped
+
+
+def slice_column_fields(fields, values_cm, group_buckets, mask, col0,
+                        width: int):
+    """Slice columns [col0, col0+width) of the transposed field layout and
+    merge into pad_group-particle groups for ``splat_atlas_fields``.
+
+    A width-w slice of the (n_groups, pad_group) matrices reshapes
+    row-major into merged groups of pad_group/w adjacent original groups —
+    the legacy column-merge semantics (render/sph._render_block_columns);
+    the layout's run padding keeps merged groups single-level
+    (ops/morton.min_slice_width).  Merged groups are padded to a SUBGROUPS
+    multiple with inactive rows.  Returns (fields, values_cm,
+    group_buckets, mask) ready for splat_atlas_fields."""
+    from .morton import PAD_POS
+    ng, pad_group = fields[0].shape
+    assert pad_group % width == 0
+    c0 = jnp.clip(col0, 0, pad_group - width)
+    if width != pad_group:
+        m = pad_group // width
+
+        def slice_cols(arr):
+            s = jax.lax.dynamic_slice(arr, (0, c0), (ng, width))
+            return s.reshape(-1, pad_group)
+
+        fields = tuple(slice_cols(f) for f in fields)
+        values_cm = tuple(slice_cols(v) for v in values_cm)
+        group_buckets = group_buckets.reshape(-1, m)[:, 0]
+        mask = None if mask is None else slice_cols(mask)
+    mg = fields[0].shape[0]
+    pad_rows = (-mg) % 8
+    if pad_rows:
+        def pad(arr, fill):
+            return jnp.concatenate(
+                [arr, jnp.full((pad_rows, pad_group), fill, arr.dtype)])
+
+        fields = tuple(pad(f, PAD_POS) for f in fields)
+        values_cm = tuple(pad(v, 0.0) for v in values_cm)
+        group_buckets = jnp.concatenate(
+            [group_buckets, jnp.broadcast_to(group_buckets[-1:],
+                                             (pad_rows,))])
+        if mask is not None:
+            mask = pad(mask, 0.0)
+    return fields, values_cm, group_buckets, mask
 
 
 def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:

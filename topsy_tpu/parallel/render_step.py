@@ -325,6 +325,174 @@ class DistributedSplatter:
             cell_ids=slab(layout.apply(cell_ids), 0),
         )
 
+    # -- fused feed-kernel (transposed fields) fast paths -----------------------
+
+    def _use_feed(self) -> bool:
+        """Mesh analogue of render/sph.SPHRenderer._use_feed: the fused
+        Pallas front-end runs on real TPUs only."""
+        from .. import config
+        return (config.EXPORT_USE_FEED and self._backend == "atlas"
+                and (jax.default_backend() == "tpu"
+                     or getattr(self, "_force_feed", False)))
+
+    def _presorted_fields(self):
+        """Derive sharded transposed slabs from the presorted dict (lazy,
+        one-time): per-field (D, n_groups_local, pad_group) matrices, the
+        layout ops/splat_feed.py consumes — reshapes of sharded arrays are
+        local to each device."""
+        ps = self._presorted
+        if "fields" not in ps:
+            ln = ps["local_n"]
+            G = ps["layout"].pad_group
+            ngl = ln // G
+            D = self.n_devices
+            pos, vals = ps["pos"], ps["values"]
+            C = int(vals.shape[-1])
+            ps["fields"] = tuple(pos[:, :, k].reshape(D, ngl, G)
+                                 for k in range(4))
+            ps["values_cm"] = tuple(vals[:, :, c].reshape(D, ngl, G)
+                                    for c in range(C))
+            ps["gbuckets"] = ps["buckets"].reshape(D, ngl, G)[:, :, 0]
+        return ps
+
+    def _feed_mask(self, cell_mask):
+        """(D, n_groups_local, pad_group) sharded cull mask, rebuilt only
+        when the cell selection changes (the per-particle table gather is
+        far too slow to run per frame)."""
+        if cell_mask is None:
+            return None
+        ps = self._presorted_fields()
+        mask_np = np.asarray(cell_mask, dtype=bool)
+        key = hash(mask_np.tobytes())
+        cached = getattr(self, "_feed_mask_cache", None)
+        if cached is not None and cached[0] == key:
+            return cached[1]
+        table = jnp.asarray(mask_np)
+        G = ps["layout"].pad_group
+        ngl = ps["local_n"] // G
+        m = table[ps["cell_ids"]].astype(jnp.float32).reshape(
+            self.n_devices, ngl, G)
+        self._feed_mask_cache = (key, m)
+        return m
+
+    def _build_presorted_step_fields(self, piece_g: int, whole: bool,
+                                     has_mask: bool):
+        axis = self.axis
+        resolution = self.resolution
+        depth_channel = self._depth_channel
+        C = int(self.values.shape[-1])
+
+        def local_render(*args):
+            fields = tuple(a[0] for a in args[:4])
+            vals = tuple(a[0] for a in args[4:4 + C])
+            gb = args[4 + C][0]
+            k = 5 + C
+            mask = None
+            if has_mask:
+                mask = args[k][0]
+                k += 1
+            matrix, scale, g0 = args[k:k + 3]
+            im, dropped = splat_atlas.splat_atlas_fields(
+                fields, vals, matrix, resolution, scale, gb, mask=mask,
+                depth_channel=depth_channel,
+                piece=None if whole else (g0, piece_g))
+            return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
+
+        n_sharded = 5 + C + (1 if has_mask else 0)
+        shard_fn = jax.shard_map(
+            local_render, mesh=self.mesh,
+            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 3),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shard_fn)
+
+    def _render_presorted_fields(self, matrix, scale, cell_mask):
+        from .. import config
+        ps = self._presorted_fields()
+        ln = ps["local_n"]
+        G = ps["layout"].pad_group
+        ngl = ln // G
+        piece_g = max(8, min(ngl, config.SPLAT_FEED_LAUNCH_CAP // G))
+        mask = self._feed_mask(cell_mask)
+        base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
+        if mask is not None:
+            base = base + (mask,)
+        total = None
+        dropped = jnp.int32(0)
+        for g0 in range(0, ngl, piece_g):
+            pg = min(piece_g, ngl - g0)
+            whole = pg == ngl
+            key = ("fields", pg, whole, mask is not None)
+            step = self._presorted_steps.get(key)
+            if step is None:
+                step = self._presorted_steps[key] = \
+                    self._build_presorted_step_fields(pg, whole, mask is not None)
+            im, d = step(*base, jnp.asarray(matrix, jnp.float32),
+                         jnp.float32(scale), jnp.int32(g0))
+            total = im if total is None else total + im
+            dropped = dropped + d
+        return total, dropped
+
+    def _build_columns_step_fields(self, width: int, has_mask: bool):
+        axis = self.axis
+        resolution = self.resolution
+        depth_channel = self._depth_channel
+        C = int(self.values.shape[-1])
+
+        def local_render(*args):
+            fields = tuple(a[0] for a in args[:4])
+            vals = tuple(a[0] for a in args[4:4 + C])
+            gb = args[4 + C][0]
+            k = 5 + C
+            mask = None
+            if has_mask:
+                mask = args[k][0]
+                k += 1
+            matrix, scale, col0 = args[k:k + 3]
+            sliced, svals, sgb, smask = splat_atlas.slice_column_fields(
+                fields, vals, gb, mask, col0, width)
+            im, dropped = splat_atlas.splat_atlas_fields(
+                sliced, svals, matrix, resolution, scale, sgb, mask=smask,
+                depth_channel=depth_channel)
+            return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
+
+        n_sharded = 5 + C + (1 if has_mask else 0)
+        shard_fn = jax.shard_map(
+            local_render, mesh=self.mesh,
+            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 3),
+            out_specs=(P(), P()),
+            check_vma=False)
+        return jax.jit(shard_fn)
+
+    def _render_columns_fields(self, matrix, scale, col0: int, ncols: int,
+                               cell_mask):
+        from ..ops.morton import slice_widths
+        ps = self._presorted_fields()
+        layout = ps["layout"]
+        mask = self._feed_mask(cell_mask)
+        base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
+        if mask is not None:
+            base = base + (mask,)
+        total = None
+        dropped = jnp.int32(0)
+        off = 0
+        for width in slice_widths(layout):
+            while ncols - off >= width:
+                key = ("fields", width, mask is not None)
+                step = self._column_steps.get(key)
+                if step is None:
+                    step = self._column_steps[key] = \
+                        self._build_columns_step_fields(width,
+                                                        mask is not None)
+                im, d = step(*base, jnp.asarray(matrix, jnp.float32),
+                             jnp.float32(scale), jnp.int32(col0 + off))
+                total = im if total is None else total + im
+                dropped = dropped + d
+                off += width
+        if off != ncols:
+            raise AssertionError(f"unrenderable column range {ncols}")
+        return total, dropped
+
     def _build_presorted_step(self, bucket: int):
         axis = self.axis
         resolution = self.resolution
@@ -514,6 +682,9 @@ class DistributedSplatter:
         """
         from ..ops.morton import slice_widths
         self.ensure_presorted()
+        if self._use_feed():
+            return self._render_columns_fields(matrix, scale, col0, ncols,
+                                               cell_mask)
         ps = self._presorted
         layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
@@ -541,6 +712,8 @@ class DistributedSplatter:
         """Full-coverage sort-free render of all particles across the mesh;
         returns (image, dropped)."""
         self.ensure_presorted()
+        if self._use_feed():
+            return self._render_presorted_fields(matrix, scale, cell_mask)
         ps = self._presorted
         ln = ps["local_n"]
         bucket = local_bucket_size(ln, ln)

@@ -138,6 +138,26 @@ def _render_block_columns(pos_smooth, values, buckets, cell_ids, cell_table,
 
 
 @functools.partial(jax.jit,
+                   static_argnames=("resolution", "width", "depth_channel",
+                                    "pad_group"))
+def _render_block_columns_fields(fields, values_cm, group_buckets, mask,
+                                 matrix, scale, col0, *, resolution, width,
+                                 depth_channel, pad_group):
+    """Column slice [col0, col0+width) through the fused feed kernel — the
+    sort-free interactive LOD path with the one-pass front-end.
+
+    The slice/merge semantics live in splat_atlas.slice_column_fields; the
+    precomputed cull mask is sliced alongside — no per-frame table
+    gather."""
+    assert pad_group == fields[0].shape[1]
+    sliced, vals, gb, msk = splat_atlas.slice_column_fields(
+        fields, values_cm, group_buckets, mask, col0, width)
+    return splat_atlas.splat_atlas_fields(
+        sliced, vals, matrix, resolution, scale, gb, mask=msk,
+        depth_channel=depth_channel)
+
+
+@functools.partial(jax.jit,
                    static_argnames=("resolution", "piece_groups", "whole",
                                     "depth_channel"))
 def _render_block_fields(fields, values_cm, group_buckets, mask, matrix,
@@ -390,21 +410,35 @@ class SPHRenderer:
         pad_group = layout.pad_group
         culling = (self._render_progression.get_selected_cell_mask()
                    is not None)
+        use_feed = self._use_feed()
+        if use_feed:
+            feed_args = (store.presorted_fields(),
+                         store.presorted_values_cm_for(self._buffer_name),
+                         store.presorted_group_buckets,
+                         self._feed_cull_mask())
         off = 0
         for width in slice_widths(layout):
             while ncols - off >= width:
                 with self._render_timer:
-                    im, dropped = _render_block_columns(
-                        store.pos_smooth_presorted,
-                        store.presorted_values_for(self._buffer_name),
-                        store.presorted_buckets,
-                        store.cell_ids_presorted if culling else None,
-                        self._cell_table if culling else None,
-                        matrix, scale,
-                        jnp.int32(col0 + off),
-                        resolution=self._resolution, width=width,
-                        depth_channel=self._depth_channel,
-                        pad_group=pad_group)
+                    if use_feed:
+                        im, dropped = _render_block_columns_fields(
+                            *feed_args, matrix, scale,
+                            jnp.int32(col0 + off),
+                            resolution=self._resolution, width=width,
+                            depth_channel=self._depth_channel,
+                            pad_group=pad_group)
+                    else:
+                        im, dropped = _render_block_columns(
+                            store.pos_smooth_presorted,
+                            store.presorted_values_for(self._buffer_name),
+                            store.presorted_buckets,
+                            store.cell_ids_presorted if culling else None,
+                            self._cell_table if culling else None,
+                            matrix, scale,
+                            jnp.int32(col0 + off),
+                            resolution=self._resolution, width=width,
+                            depth_channel=self._depth_channel,
+                            pad_group=pad_group)
                     self._dropped_splats = dropped
                     if first_block:
                         self._image = im
@@ -485,8 +519,7 @@ class SPHRenderer:
         mask = self._feed_cull_mask()
         G = store.presorted_layout.pad_group
         ng = store.n_presorted // G
-        piece_g = max(8, bucket_size(store.n_presorted,
-                                     store.n_presorted) // G)
+        piece_g = max(8, min(ng, config.SPLAT_FEED_LAUNCH_CAP // G))
         for g0 in range(0, ng, piece_g):
             pg = min(piece_g, ng - g0)
             with self._render_timer:
