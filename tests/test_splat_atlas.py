@@ -189,3 +189,30 @@ def test_atlas_heavy_spill_stress(engine):
     assert im[:, :, 0].sum() == pytest.approx(ref[:, :, 0].sum(), rel=0.01)
     corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
     assert corr > 0.999
+
+
+def test_tier3_pallas_matches_scan(monkeypatch):
+    """The unconditional group=1 pallas tier 3 (big launches) reproduces
+    the scan tier's image on a straggler-heavy scene."""
+    rng = np.random.RandomState(2)
+    n = 4096
+    ps = np.zeros((n, 4), dtype=np.float32)
+    corners = np.array([[-120, -120], [120, -120], [-120, 120], [120, 120]])
+    c = corners[np.arange(n) % 4]
+    ps[:, 0] = c[:, 0] + rng.uniform(-20, 20, n)
+    ps[:, 1] = c[:, 1] + rng.uniform(-20, 20, n)
+    ps[:, 2] = rng.uniform(-50, 50, n)
+    ps[:, 3] = rng.uniform(2.0, 6.0, n)
+    vals = np.ones((n, 1), dtype=np.float32)
+    args = (jnp.asarray(ps), jnp.asarray(vals), jnp.asarray(make_matrix()))
+
+    im_scan, d0 = splat_atlas.splat_atlas(*args, RES, SCALE, engine="pallas")
+    monkeypatch.setattr(splat_atlas, "TIER3_PALLAS_MIN_GROUPS", 1)
+    im_p, d1 = splat_atlas.splat_atlas(*args, RES, SCALE, engine="pallas")
+    assert int(d0) == 0
+    assert int(d1) == 0
+    im_scan = np.asarray(im_scan)
+    im_p = np.asarray(im_p)
+    assert im_p[..., 0].sum() == pytest.approx(im_scan[..., 0].sum(),
+                                               rel=1e-3)
+    assert np.abs(im_p - im_scan).max() <= 0.01 * np.abs(im_scan).max()

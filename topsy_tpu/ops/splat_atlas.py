@@ -39,6 +39,9 @@ from .splat import (PyramidSpec, default_pyramid, profiles_select,
                     splat_coefficients)
 
 GROUP = 512                 # particles per matmul group
+TIER3_PALLAS_MIN_GROUPS = 16384  # launch size above which the spill pass
+                                 # runs tier 3 as an unconditional group=1
+                                 # pallas pass (see spill_pass)
 WINDOW_ROWS = 64            # rows of the dynamic accumulation window
 WINDOW_COLS = 256           # cols of the dynamic accumulation window
 BAND = config.SPLAT_BAND_ROWS
@@ -439,6 +442,48 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
 
         # ---- final tier: per-particle windows (fit by construction) -------
         T3 = min(1024, spill_cap)
+
+        if engine == "pallas" and n_groups >= TIER3_PALLAS_MIN_GROUPS:
+            # big launches: shuffled spill subgroups routinely span > 96
+            # rows, so tier 3 fires (~1000 stragglers at 2^24) and BOTH of
+            # the conditional encodings are slow — a cond around the scan
+            # costs ~10 ms when taken, and a sort in this branch costs
+            # +15 ms of lost pipelining (see NOTE above).  Run tier 3
+            # UNCONDITIONALLY as a group=1 pallas pass: top_k compaction
+            # (no sort), 1024 one-particle groups = 128 grid steps, windows
+            # fit by construction, inactive when no stragglers.
+            from . import splat_pallas
+            from .splat import H_MAX
+            interpret = jax.default_backend() != "tpu"
+            _, idx3 = jax.lax.top_k(straggler.astype(jnp.float32)
+                                    * (2.0 - jnp.arange(spill_cap,
+                                                        dtype=jnp.float32)
+                                       / spill_cap), T3)
+            valid3 = jnp.take(straggler, idx3)
+            t_ay = jnp.take(s_ay, idx3)
+            t_ax = jnp.take(s_ax, idx3)
+            t_ih = jnp.take(s_ih, idx3)
+            t_coef = jnp.where(valid3[:, None],
+                               jnp.take(s_coef, idx3, axis=0), 0.0)
+            tw0 = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32) * BAND)
+            tw0 = jnp.clip(tw0, 0,
+                           ((atlas_rows - window_rows) // BAND) * BAND)
+            from .splat_pallas import COL_ALIGN, PROFILE_COLS
+            ce_raw = jnp.floor(t_ax - FOOT).astype(jnp.int32)
+            tc0 = jnp.clip((ce_raw // COL_ALIGN) * COL_ALIGN, 0,
+                           atlas_cols - WINDOW_COLS)
+            tce = jnp.clip(ce_raw, tc0, tc0 + WINDOW_COLS - PROFILE_COLS)
+            tflags = splat_pallas.group_flags(
+                t_ih.reshape(T3, 1), t_coef.reshape(T3, 1, C), H_MAX)
+            atlas = splat_pallas.accumulate_groups_pallas(
+                t_ay.reshape(T3, 1, 1), t_ax.reshape(T3, 1, 1),
+                t_ih.reshape(T3, 1, 1),
+                t_coef.reshape(T3, 1, C).transpose(0, 2, 1),
+                tw0, tc0, tce, tflags, atlas_rows=atlas_rows,
+                atlas_cols=atlas_cols, C=C, group=1, interpret=interpret,
+                atlas0=atlas, window_rows=window_rows)
+            not_gathered = n_spill - valid.sum()
+            return atlas, not_gathered + jnp.maximum(n3 - T3, 0)
 
         def do_t3(atlas):
             big3 = jnp.int32(np.iinfo(np.int32).max)
