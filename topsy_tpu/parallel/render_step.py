@@ -258,6 +258,36 @@ class DistributedSplatter:
         sharding = NamedSharding(self.mesh, P(self.axis))
 
         if self._host_pos_smooth is not None:
+            from ..ops import morton_device
+            cell_ids = (self._host_cell_ids
+                        if self._host_cell_ids is not None
+                        else np.zeros(self.n, dtype=np.int32))
+            # build on the default device (ops/morton_device.py), then
+            # reshard contiguous Morton slabs over the mesh — the host
+            # numpy build costs minutes at >= 2^24 on slow hosts
+            dlayout = morton_device.build_presorted_device(
+                self._host_pos_smooth, pad_total=4096 * self.n_devices)
+            if dlayout is not None:
+                ln = dlayout.n_out // self.n_devices
+
+                def slab_dev(applied):
+                    return jax.device_put(
+                        applied.reshape(self.n_devices, ln,
+                                        *applied.shape[1:]), sharding)
+
+                self._presorted = dict(
+                    local_n=ln,
+                    layout=dlayout,
+                    pos=slab_dev(dlayout.apply(
+                        jnp.asarray(self._host_pos_smooth),
+                        fill=morton.PAD_POS)),
+                    values=slab_dev(dlayout.apply(
+                        jnp.asarray(self._host_values))),
+                    buckets=slab_dev(dlayout.buckets),
+                    cell_ids=slab_dev(dlayout.apply(
+                        jnp.asarray(cell_ids.astype(np.int32)))),
+                )
+                return
             layout = morton.build_presorted(self._host_pos_smooth,
                                             pad_total=4096 * self.n_devices)
             ln = layout.n_out // self.n_devices
@@ -267,9 +297,6 @@ class DistributedSplatter:
                     arr.reshape(self.n_devices, ln, *arr.shape[1:]),
                     sharding)
 
-            cell_ids = (self._host_cell_ids
-                        if self._host_cell_ids is not None
-                        else np.zeros(self.n, dtype=np.int32))
             self._presorted = dict(
                 local_n=ln,
                 layout=layout,
