@@ -210,6 +210,38 @@ def test_columns_fields_matches_legacy(presorted, width):
     assert np.abs(im_f - im_leg).max() <= 0.01 * np.abs(im_leg).max()
 
 
+def test_fields_three_channels_matches_legacy(presorted):
+    """C_in=3 (the RGB renderer's shape) through the feed kernel."""
+    ps, values, layout, ps_p, vals_p = presorted
+    rng = np.random.RandomState(11)
+    v3 = np.stack([values[:, 0],
+                   values[:, 0] * rng.random_sample(len(values)),
+                   values[:, 0] * rng.random_sample(len(values))], axis=1)
+    v3_p = layout.apply(v3.astype(np.float32))
+    G = layout.pad_group
+    ng = layout.n_out // G
+    fields = tuple(jnp.asarray(ps_p[:, k].reshape(ng, G)) for k in range(4))
+    values_cm = tuple(jnp.asarray(v3_p[:, c].reshape(ng, G))
+                      for c in range(3))
+    gb = jnp.asarray(layout.buckets.reshape(ng, G)[:, 0])
+    matrix = _matrix()
+    im_leg, d0 = jax.jit(lambda a, b, m, k: splat_atlas.splat_atlas(
+        a, b, m, RES, SCALE, presorted_buckets=k))(
+        jnp.asarray(ps_p), jnp.asarray(v3_p), matrix,
+        jnp.asarray(layout.buckets))
+    im_f, d1 = jax.jit(lambda f, v, m, k: splat_atlas.splat_atlas_fields(
+        f, v, m, RES, SCALE, k))(fields, values_cm, matrix, gb)
+    assert int(d0) == 0
+    assert int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_f = np.asarray(im_f)
+    assert im_f.shape[-1] == 3
+    for c in range(3):
+        assert im_f[..., c].sum() == pytest.approx(im_leg[..., c].sum(),
+                                                   rel=1e-3)
+    assert np.abs(im_f - im_leg).max() <= 0.01 * np.abs(im_leg).max()
+
+
 def test_fields_mask_culls(presorted):
     ps, values, layout, ps_p, vals_p = presorted
     fields, values_cm, group_buckets = _fields_of(ps_p, vals_p, layout)
