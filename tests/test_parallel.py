@@ -268,3 +268,29 @@ def test_feed_path_multichip_matches_legacy(data):
                                                     rel=1e-3)
     assert np.abs(im_c_feed - im_c_leg).max() <= \
         0.01 * np.abs(im_c_leg).max()
+
+
+def test_feed_path_multichip_culling(data):
+    """Mesh feed path with a cell mask: the precomputed sharded cull mask
+    reproduces the legacy per-frame table gather."""
+    ps, vals, matrix = data
+    rng = np.random.RandomState(5)
+    nside = 4
+    lo = ps[:, :3].min()
+    hi = ps[:, :3].max() + 1e-3
+    cell = ((ps[:, :3] - lo) / (hi - lo) * nside).astype(np.int32)
+    cell_ids = (cell[:, 0] * nside + cell[:, 1]) * nside + cell[:, 2]
+    n_cells = nside ** 3
+    cell_mask = rng.random_sample(n_cells) < 0.5
+
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES, cell_ids=cell_ids)
+    im_leg, d0 = sp.render_presorted(matrix, SCALE, cell_mask=cell_mask)
+    sp._force_feed = True
+    im_feed, d1 = sp._render_presorted_fields(matrix, SCALE, cell_mask)
+    assert int(d0) == 0 and int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_feed = np.asarray(im_feed)
+    assert im_feed[..., 0].sum() == pytest.approx(im_leg[..., 0].sum(),
+                                                  rel=1e-3)
+    assert np.abs(im_feed - im_leg).max() <= 0.01 * np.abs(im_leg).max()

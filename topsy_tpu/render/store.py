@@ -130,12 +130,14 @@ class ParticleStore:
         self._presorted_layout = layout
         self.n_presorted = layout.n_out
         if isinstance(layout, morton_device.DevicePresortedLayout):
-            self.pos_smooth_presorted = layout.apply(
-                self.pos_smooth, fill=morton.PAD_POS)
+            # the (n_out, 4) copy is built lazily (see pos_smooth_presorted)
+            # — on the feed-kernel path only the transposed fields are
+            # needed, halving position bytes at 10^8 scale
+            self._pos_smooth_presorted = None
             self.presorted_buckets = layout.buckets
             self.cell_ids_presorted = layout.apply(self.cell_ids)
         else:
-            self.pos_smooth_presorted = self._put(
+            self._pos_smooth_presorted = self._put(
                 layout.apply(ps, fill=morton.PAD_POS))
             self.presorted_buckets = self._put(layout.buckets)
             self.cell_ids_presorted = self._put(
@@ -149,6 +151,18 @@ class ParticleStore:
     def presorted_layout(self):
         """The cached PresortedLayout (call ensure_presorted() first)."""
         return self._presorted_layout
+
+    @property
+    def pos_smooth_presorted(self):
+        """(n_out, 4) presorted positions — the legacy/surface-path layout,
+        materialized on first use (the feed path never needs it)."""
+        p = self._pos_smooth_presorted
+        if p is None:
+            from ..ops import morton
+            p = self._presorted_layout.apply(self.pos_smooth,
+                                             fill=morton.PAD_POS)
+            self._pos_smooth_presorted = p
+        return p
 
     def presorted_values_for(self, buffer_name: str):
         """Presorted copy of a channel buffer, cached per values_version."""
@@ -175,10 +189,19 @@ class ParticleStore:
         group reductions as row reductions)."""
         f = getattr(self, "_presorted_fields", None)
         if f is None:
+            from ..ops import morton, morton_device
             self.ensure_presorted()
-            G = self._presorted_layout.pad_group
+            layout = self._presorted_layout
+            G = layout.pad_group
             ng = self.n_presorted // G
-            ps = self.pos_smooth_presorted
+            if (self._pos_smooth_presorted is None
+                    and isinstance(layout,
+                                   morton_device.DevicePresortedLayout)):
+                # transpose from a temporary apply — the (n_out, 4) copy
+                # is never retained on the feed path
+                ps = layout.apply(self.pos_smooth, fill=morton.PAD_POS)
+            else:
+                ps = self.pos_smooth_presorted
             f = tuple(ps[:, k].reshape(ng, G) for k in range(4))
             self._presorted_fields = f
             self._presorted_group_buckets = \
