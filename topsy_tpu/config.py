@@ -117,6 +117,18 @@ INTERACTIVE_USE_PRESORTED = True
 # progression.RenderProgressionColumns).  Builds the presort order at the
 # first interactive frame (~1 us/particle, one-time per snapshot).
 
+COLUMN_MIP_FLOOR_TARGET = 1 << 21
+# decimation-mip tiers (ops/morton_device.build_mip_layout) are chained
+# until the smallest interactive column block is at most this many
+# particles.  Without tiers the sort-free column LOD cannot render less
+# than 1/8 of the snapshot per block (min_slice_width), which at the
+# 100M-particle north star would force >12M particles into every CHANGE
+# frame; one tier lowers the floor to 1/64, two to 1/512.
+
+COLUMN_MIP_MAX_TIERS = 2
+# upper bound on chained decimation tiers (each costs one extra presort
+# build over an 8x smaller subsample plus its array copies).
+
 AUTORANGE_PERCENTILES = (1.0, 99.9)
 
 GPU_TIMING_SMOOTH_WINDOW = 10  # frames of running-mean for fps display

@@ -242,25 +242,31 @@ class DevicePresortedLayout:
 
 def build_presorted_device(ps, pad_group: int = 512, pad_total: int = 4096,
                            run_quantum: int | None = None,
-                           seed: int = 1337) -> DevicePresortedLayout | None:
+                           seed: int = 1337,
+                           n_real: int | None = None
+                           ) -> DevicePresortedLayout | None:
     """Build the presorted layout on the accelerator.
 
     ps: (n, 4) [x, y, z, h] — numpy (uploaded once) or already on device.
+    ``n_real`` (default: all rows) marks rows >= n_real as padding whose
+    contents are ignored (they must still be finite, e.g. PAD_POS rows).
     Returns None when the snapshot needs the host fallback (more runs than
     R_CAP or pathological padding beyond the slack capacity)."""
-    n = int(ps.shape[0])
+    if n_real is None:
+        n_real = int(ps.shape[0])
+    n = n_real
     if run_quantum is None:
         run_quantum = 8 * pad_group if n >= (1 << 23) else 4 * pad_group
     run_quantum = max(run_quantum, pad_group)
 
-    n_cap = max(pad_total, 1 << (n - 1).bit_length())
+    n_cap = max(pad_total, 1 << (max(int(ps.shape[0]), 1) - 1).bit_length())
     n_out_cap = _ceil_to(n_cap + max(n_cap // 4, 64 * run_quantum),
                          pad_total)
 
     ps = jnp.asarray(ps, jnp.float32)
     if ps.shape[0] != n_cap:
         ps = jnp.concatenate(
-            [ps, jnp.full((n_cap - n, 4), PAD_POS, jnp.float32)])
+            [ps, jnp.full((n_cap - ps.shape[0], 4), PAD_POS, jnp.float32)])
 
     for _attempt in range(2):
         gidx, buckets_slot, real, counts, n_out, n_runs = _build_device(
@@ -289,3 +295,59 @@ def build_presorted_device(ps, pad_group: int = 512, pad_total: int = 4096,
         gidx=gidx[:n_out], buckets=buckets_slot[:n_out], n_out=n_out,
         pad_group=pad_group, run_quantum=run_quantum,
         real_per_column=real_per_column, n_real=n)
+
+
+def build_mip_layout(layout: DevicePresortedLayout, pos_smooth,
+                     seed: int = 1337) -> DevicePresortedLayout | None:
+    """Decimation-mip layout: a presorted layout over the particles in the
+    first ``min_slice_width`` columns of ``layout`` — a spatially fair
+    1/(pad_group/w) subsample thanks to the within-group shuffle.
+
+    The mip's gidx composes back to the ORIGINAL arrays (same sentinel
+    semantics as the parent), so it is itself a DevicePresortedLayout over
+    the snapshot and can be chained (a mip of a mip).  The union of the mip
+    and the parent's columns [w, pad_group) is exactly the snapshot, so an
+    interactive progression can render mip columns first and continue into
+    parent columns with every particle rendered exactly once — the particle
+    analogue of texture mip levels (the reference has no analogue: its
+    rasterizer re-culls per draw, reference: src/topsy/sph.py:306-332).
+
+    ``pos_smooth``: (>= layout.n_real, 4) device/host positions in the
+    ORIGINAL order.  Returns None when the subsample cannot build (host
+    fallback cases or a degenerate subsample).
+    """
+    from .morton import PAD_POS, min_slice_width
+
+    w = min_slice_width(layout)
+    if w >= layout.pad_group:
+        return None  # no safe column slicing: nothing to decimate
+    ng = layout.n_out // layout.pad_group
+    sub = layout.gidx.reshape(ng, layout.pad_group)[:, :w].reshape(-1)
+    n_full = layout.n_real
+    is_pad = (sub >= n_full).astype(jnp.int32)
+    # compact real slots to the front (deterministic: slot index tiebreak)
+    _, _, sub_c = jax.lax.sort(
+        (is_pad, jnp.arange(sub.shape[0], dtype=jnp.int32), sub), num_keys=2)
+    m_real = int(sub.shape[0] - jnp.sum(is_pad))
+    if m_real < 2 * layout.pad_group:
+        return None  # degenerate subsample: not worth a tier
+
+    ps = jnp.asarray(pos_smooth, jnp.float32)
+    base = jnp.concatenate(
+        [ps[:n_full], jnp.full((1, 4), PAD_POS, jnp.float32)])
+    ps_sub = jnp.take(base, jnp.minimum(sub_c, n_full), axis=0)
+    inner = build_presorted_device(ps_sub, pad_group=layout.pad_group,
+                                   seed=seed, n_real=m_real)
+    if inner is None:
+        return None
+    # compose inner gather (into the compacted subsample) with the
+    # subsample's source indices -> indices into the ORIGINAL arrays.
+    # inner pads carry sentinel m_real; sub_c[m_real] (the first compacted
+    # pad) already holds the parent sentinel n_full — and when the
+    # subsample has no pads at all, the appended row provides it.
+    ext = jnp.concatenate([sub_c, jnp.full((1,), n_full, sub_c.dtype)])
+    gidx = jnp.take(ext, inner.gidx)
+    return DevicePresortedLayout(
+        gidx=gidx, buckets=inner.buckets, n_out=inner.n_out,
+        pad_group=inner.pad_group, run_quantum=inner.run_quantum,
+        real_per_column=inner.real_per_column, n_real=n_full)

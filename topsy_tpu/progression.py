@@ -213,32 +213,69 @@ class RenderProgressionColumns(CellSelectionMixin, RenderProgression):
     splat, while logical lengths still count every particle in the rendered
     columns — the same accounting as the prefix path, so the photometric
     scale factor is unchanged by culling.
+
+    **Decimation-mip tiers.**  Column slices cannot go below 1/8 coverage
+    (min_slice_width), so at 10^8-particle scale the smallest CHANGE block
+    would blow any frame budget.  ``mip_tiers`` (deepest first, each a
+    ``(real_per_column, col_quantum)`` pair from
+    ops/morton_device.build_mip_layout) prepend progressively decimated
+    presorted layouts: the progression renders the deepest tier's columns
+    first, then each parent's columns [quantum, pad_group) — exactly-once
+    overall, because a mip contains exactly the particles of its parent's
+    first ``quantum`` columns.  Blocks never straddle tiers; the renderer
+    reads ``last_block_tier`` to pick the tier's arrays.
     """
 
     def __init__(self, real_per_column: np.ndarray,
                  cell_layout: CellLayout | None = None,
-                 initial_particles: int | None = None, col_quantum: int = 128):
-        self._cum_real = np.concatenate(
-            [[0], np.cumsum(np.asarray(real_per_column, dtype=np.int64))])
-        self._ncols = len(real_per_column)
-        self._col_quantum = col_quantum
+                 initial_particles: int | None = None, col_quantum: int = 128,
+                 mip_tiers: list[tuple[np.ndarray, int]] | None = None):
+        # tiers deepest-first; the main layout is always the last tier.
+        # col_lo: the first column a tier renders itself (deeper tiers cover
+        # its columns [0, col_lo) exactly).
+        specs = list(mip_tiers or []) + [(real_per_column, col_quantum)]
+        self._tiers = []
+        tier_start = 0  # cumulative reals covered by deeper tiers
+        for i, (rpc, q) in enumerate(specs):
+            rpc = np.asarray(rpc, dtype=np.int64)
+            lo = 0 if i == 0 else q
+            covered = int(rpc[:lo].sum())
+            assert covered == tier_start, (
+                f"tier {i}: columns [0, {lo}) hold {covered} reals but "
+                f"deeper tiers cover {tier_start} — not a mip chain")
+            cum = np.concatenate([[0], np.cumsum(rpc[lo:])])
+            self._tiers.append(dict(col_lo=lo, ncols=len(rpc), quantum=q,
+                                    cum=cum, start=tier_start))
+            tier_start += int(cum[-1])
+        self._last_block_tier = len(self._tiers) - 1
         self._init_cell_selection(cell_layout)
-        super().__init__(int(self._cum_real[-1]), initial_particles)
+        super().__init__(tier_start, initial_particles)
+
+    @property
+    def last_block_tier(self) -> int:
+        """Tier index (deepest mip first, main layout last) of the block
+        most recently returned by get_block."""
+        return self._last_block_tier
 
     def _block_for_logical_range(self, start: int, length: int):
-        # start always sits on a column boundary: lengths are snapped below
-        c0 = int(np.searchsorted(self._cum_real, start, side="right")) - 1
-        target = min(start + length, self._total)
-        c1 = int(np.searchsorted(self._cum_real, target, side="left"))
-        c1 = min(max(c1, c0 + 1), self._ncols)
+        # locate the tier containing `start` (starts always sit on a column
+        # boundary: lengths are snapped below and blocks never cross tiers)
+        ti = max(i for i, t in enumerate(self._tiers) if t["start"] <= start)
+        t = self._tiers[ti]
+        cum, lo, q = t["cum"], t["col_lo"], t["quantum"]
+        s = start - t["start"]
+        c0 = int(np.searchsorted(cum, s, side="right")) - 1
+        target = min(s + length, int(cum[-1]))
+        c1 = int(np.searchsorted(cum, target, side="left"))
+        c1 = min(max(c1, c0 + 1), len(cum) - 1)
         # snap up to the renderer's slice-width quantum (slice widths are
-        # powers of two >= 64 so each width compiles once)
-        q = self._col_quantum
-        c1 = min(c0 + ((c1 - c0 + q - 1) // q) * q, self._ncols)
+        # powers of two so each width compiles once)
+        c1 = min(c0 + ((c1 - c0 + q - 1) // q) * q, len(cum) - 1)
         # the base class set _last_block_len to the requested length before
         # dispatching here; correct it to the real count the columns cover
-        self._last_block_len = int(self._cum_real[c1] - self._cum_real[c0])
-        return ([c0], [c1 - c0])
+        self._last_block_len = int(cum[c1] - cum[c0])
+        self._last_block_tier = ti
+        return ([lo + c0], [c1 - c0])
 
 
 class RenderProgressionWithCells(CellSelectionMixin, RenderProgression):

@@ -393,29 +393,61 @@ class SPHRenderer:
         if layout.real_per_column is None:
             return False  # layout without safe column slicing
         from ..ops.morton import min_slice_width
+        # decimation-mip tiers let CHANGE blocks go below the 1/8 column
+        # floor at 10^8-particle scale (store.ensure_column_mips; empty for
+        # small snapshots)
+        mips = store.ensure_column_mips()
         # cell culling carries over from the cell-aware progression
         self._render_progression = RenderProgressionColumns(
             layout.real_per_column,
             cell_layout=getattr(self._render_progression, "cell_layout", None),
-            col_quantum=min_slice_width(layout))
+            col_quantum=min_slice_width(layout),
+            mip_tiers=[(m.layout.real_per_column,
+                        min_slice_width(m.layout)) for m in mips])
         return True
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
                               first_block: bool, sync_blocks: bool) -> bool:
         """Render columns [col0, col0+ncols), decomposed into power-of-two
-        slice widths (each width compiles once)."""
+        slice widths (each width compiles once).
+
+        The progression's ``last_block_tier`` selects which decimation tier
+        the columns index: a mip tier (store.ensure_column_mips) below the
+        main layout's 1/8 slice floor, or the main presorted arrays."""
         from ..ops.morton import slice_widths
         store = self._store
-        layout = store.presorted_layout
+        prog = self._render_progression
+        mips = getattr(self, "_column_mips", None)
+        if mips is None:
+            mips = store.ensure_column_mips()
+            self._column_mips = mips
+        tier_idx = getattr(prog, "last_block_tier", len(mips))
+        tier = mips[tier_idx] if tier_idx < len(mips) else None
+        layout = store.presorted_layout if tier is None else tier.layout
         pad_group = layout.pad_group
-        culling = (self._render_progression.get_selected_cell_mask()
-                   is not None)
+        culling = prog.get_selected_cell_mask() is not None
         use_feed = self._use_feed()
         if use_feed:
-            feed_args = (store.presorted_fields(),
-                         store.presorted_values_cm_for(self._buffer_name),
-                         store.presorted_group_buckets,
-                         self._feed_cull_mask())
+            if tier is None:
+                feed_args = (store.presorted_fields(),
+                             store.presorted_values_cm_for(self._buffer_name),
+                             store.presorted_group_buckets,
+                             self._feed_cull_mask())
+            else:
+                feed_args = (tier.fields(),
+                             tier.values_cm_for(self._buffer_name),
+                             tier.group_buckets,
+                             self._feed_cull_mask(tier))
+        elif tier is None:
+            flat_args = (store.pos_smooth_presorted,
+                         store.presorted_values_for(self._buffer_name),
+                         store.presorted_buckets,
+                         store.cell_ids_presorted if culling else None)
+        else:
+            flat_args = (tier.pos_smooth,
+                         tier.values_for(self._buffer_name),
+                         tier.buckets,
+                         tier.cell_ids if culling else None)
         off = 0
         for width in slice_widths(layout):
             while ncols - off >= width:
@@ -429,10 +461,7 @@ class SPHRenderer:
                             pad_group=pad_group)
                     else:
                         im, dropped = _render_block_columns(
-                            store.pos_smooth_presorted,
-                            store.presorted_values_for(self._buffer_name),
-                            store.presorted_buckets,
-                            store.cell_ids_presorted if culling else None,
+                            *flat_args,
                             self._cell_table if culling else None,
                             matrix, scale,
                             jnp.int32(col0 + off),
@@ -488,25 +517,33 @@ class SPHRenderer:
             return True  # tests exercise the wiring via the interpreter
         return jax.default_backend() == "tpu"
 
-    def _feed_cull_mask(self):
+    def _feed_cull_mask(self, tier=None):
         """(n_groups, pad_group) f32 cull mask for the feed kernel, rebuilt
         only when the cell selection changes (never per frame — the
-        per-particle table gather costs ~6 ms/M on v5e)."""
+        per-particle table gather costs ~6 ms/M on v5e).  ``tier`` selects a
+        decimation-mip tier's cell ids; None means the main layout."""
         prog = self._render_progression
+        cache = getattr(self, "_fields_masks", None)
+        if cache is None:
+            cache = self._fields_masks = {}
         if prog.get_selected_cell_mask() is None:
-            self._fields_mask = None
-            self._fields_mask_gen = None
+            cache.clear()
             return None
-        gen = (getattr(prog, "selection_generation", None),
-               self._store.n_presorted)
-        if getattr(self, "_fields_mask_gen", None) != gen:
-            store = self._store
-            G = store.presorted_layout.pad_group
-            ng = store.n_presorted // G
-            self._fields_mask = self._cell_table[
-                store.cell_ids_presorted].astype(jnp.float32).reshape(ng, G)
-            self._fields_mask_gen = gen
-        return self._fields_mask
+        store = self._store
+        if tier is None:
+            key, cell_ids = "main", store.cell_ids_presorted
+            n_out, G = store.n_presorted, store.presorted_layout.pad_group
+        else:
+            key, cell_ids = id(tier), tier.cell_ids
+            n_out, G = tier.n_out, tier.layout.pad_group
+        gen = (getattr(prog, "selection_generation", None), n_out)
+        ent = cache.get(key)
+        if ent is None or ent[0] != gen:
+            mask = self._cell_table[cell_ids].astype(jnp.float32).reshape(
+                n_out // G, G)
+            ent = (gen, mask)
+            cache[key] = ent
+        return ent[1]
 
     def _render_presorted_fields(self, matrix, scale, first_block: bool):
         """Sort-free EXPORT through the fused feed kernel: transposed field

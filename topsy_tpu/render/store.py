@@ -228,8 +228,121 @@ class ParticleStore:
             self._presorted_values_cm = {key: cached}
         return cached
 
+    # -- decimation-mip tiers for interactive LOD below the 1/8 floor ----------
+
+    def ensure_column_mips(self) -> list["PresortedMipTier"]:
+        """Lazily build the chain of decimation-mip tiers (deepest first).
+
+        Each tier is a presorted layout over the particles in the first
+        min_slice_width columns of its parent — a spatially fair 1/8
+        subsample (ops/morton_device.build_mip_layout).  Tiers are chained
+        until the smallest interactive column block drops below
+        config.COLUMN_MIP_FLOOR_TARGET, bounding per-frame work at
+        100M-particle scale (the sort-free column floor is otherwise 1/8
+        of the snapshot)."""
+        tiers = getattr(self, "_mip_tiers", None)
+        if tiers is not None:
+            return tiers
+        from .. import config
+        from ..ops import morton, morton_device
+        self.ensure_presorted()
+        tiers = []
+        layout = self._presorted_layout
+        if isinstance(layout, morton_device.DevicePresortedLayout):
+            while len(tiers) < config.COLUMN_MIP_MAX_TIERS:
+                w = morton.min_slice_width(layout)
+                floor = int(layout.real_per_column[:w].sum()) if w < layout.pad_group \
+                    else int(layout.real_per_column.sum())
+                if floor <= config.COLUMN_MIP_FLOOR_TARGET:
+                    break
+                mip = morton_device.build_mip_layout(layout, self.pos_smooth)
+                if mip is None:
+                    break
+                tiers.insert(0, PresortedMipTier(self, mip))
+                logger.info("Built column-mip tier %d: %d real particles",
+                            len(tiers), int(mip.real_per_column.sum()))
+                layout = mip
+        self._mip_tiers = tiers
+        return tiers
+
     def cell_mask_table(self, selected_mask: np.ndarray | None):
         """Device bool table over cells (True = render), for geometric culling."""
         if selected_mask is None:
             return self._all_cells_mask
         return self._put(np.asarray(selected_mask, dtype=bool))
+
+
+class PresortedMipTier:
+    """Device arrays for one decimation tier: the same presorted-array
+    surface as the store's main presorted path (flat arrays for the legacy
+    column path, transposed fields for the fused feed kernel), built from a
+    mip DevicePresortedLayout whose gidx composes to the ORIGINAL arrays."""
+
+    def __init__(self, store: ParticleStore, layout):
+        self._store = store
+        self.layout = layout
+        self.n_out = layout.n_out
+        self._pos_smooth = None
+        self._fields = None
+        self._group_buckets = None
+        self._cell_ids = None
+        self._values = {}
+        self._values_cm = {}
+
+    @property
+    def buckets(self):
+        return self.layout.buckets
+
+    @property
+    def pos_smooth(self):
+        if self._pos_smooth is None:
+            from ..ops import morton
+            self._pos_smooth = self.layout.apply(self._store.pos_smooth,
+                                                 fill=morton.PAD_POS)
+        return self._pos_smooth
+
+    @property
+    def cell_ids(self):
+        if self._cell_ids is None:
+            self._cell_ids = self.layout.apply(self._store.cell_ids)
+        return self._cell_ids
+
+    def values_for(self, buffer_name: str):
+        key = (buffer_name, self._store.values_version)
+        cached = self._values.get(key)
+        if cached is None:
+            cached = self.layout.apply(self._store.values_for(buffer_name))
+            self._values = {key: cached}
+        return cached
+
+    def fields(self):
+        if self._fields is None:
+            from ..ops import morton
+            G = self.layout.pad_group
+            ng = self.n_out // G
+            # transpose from a temporary apply when the flat copy was never
+            # requested — the feed path retains only the fields (halves
+            # position bytes, as the store's main path does)
+            ps = self._pos_smooth if self._pos_smooth is not None \
+                else self.layout.apply(self._store.pos_smooth,
+                                       fill=morton.PAD_POS)
+            self._fields = tuple(ps[:, k].reshape(ng, G) for k in range(4))
+            self._group_buckets = self.buckets.reshape(ng, G)[:, 0]
+        return self._fields
+
+    @property
+    def group_buckets(self):
+        self.fields()
+        return self._group_buckets
+
+    def values_cm_for(self, buffer_name: str):
+        key = (buffer_name, self._store.values_version)
+        cached = self._values_cm.get(key)
+        if cached is None:
+            vals = self.values_for(buffer_name)
+            G = self.layout.pad_group
+            ng = self.n_out // G
+            cached = tuple(vals[:, c].reshape(ng, G)
+                           for c in range(vals.shape[1]))
+            self._values_cm = {key: cached}
+        return cached

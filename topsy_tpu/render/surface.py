@@ -178,19 +178,34 @@ class SurfaceSPHRenderer(SPHRenderer):
                                 sync_blocks: bool) -> bool:
         from ..ops.morton import slice_widths
         store = self._store
-        layout = store.presorted_layout
+        prog = self._render_progression
+        # decimation-mip tiers (render/sph.py _render_columns_range): the
+        # progression's last block selects which tier the columns index
+        mips = getattr(self, "_column_mips", None)
+        if mips is None:
+            mips = store.ensure_column_mips()
+            self._column_mips = mips
+        tier_idx = getattr(prog, "last_block_tier", len(mips))
+        tier = mips[tier_idx] if tier_idx < len(mips) else None
+        layout = store.presorted_layout if tier is None else tier.layout
         pad_group = layout.pad_group
-        culling = (self._render_progression.get_selected_cell_mask()
-                   is not None)
+        culling = prog.get_selected_cell_mask() is not None
+        if tier is None:
+            flat_args = (store.pos_smooth_presorted,
+                         store.presorted_values_for(self._buffer_name),
+                         store.presorted_buckets,
+                         store.cell_ids_presorted if culling else None)
+        else:
+            flat_args = (tier.pos_smooth,
+                         tier.values_for(self._buffer_name),
+                         tier.buckets,
+                         tier.cell_ids if culling else None)
         off = 0
         for width in slice_widths(layout):
             while ncols - off >= width:
                 with self._render_timer:
                     im, dropped = _render_block_columns_surface(
-                        store.pos_smooth_presorted,
-                        store.presorted_values_for(self._buffer_name),
-                        store.presorted_buckets,
-                        store.cell_ids_presorted if culling else None,
+                        *flat_args,
                         self._cell_table if culling else None,
                         matrix, scale, cut,
                         jnp.int32(col0 + off), resolution=self._resolution,
