@@ -1,8 +1,12 @@
 """Headline benchmark: particle splat throughput on one chip.
 
-Renders the synthetic 2^22-particle snapshot at 1024x1024 (density +
-weighted-quantity channels, the reference's flagship configuration) through
-the full TPU splat pipeline and reports steady-state splats/second.
+Renders the synthetic 2^24-particle snapshot at 1024x1024 (density +
+weighted-quantity channels — the largest single fused-feed EXPORT launch,
+config.SPLAT_FEED_LAUNCH_CAP, the analogue of the reference's 2^25-
+particles-per-call EXPORT chunking) through the full TPU splat pipeline
+and reports steady-state splats/second.  Per-frame overheads amortize
+with scene size, so this is also the configuration 10^8-particle piece
+loops sustain (benchmarks/scale.py).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the 500M splats/s/chip north star (BASELINE.md).
@@ -29,7 +33,7 @@ def main():
 
     resolution = 1024
     scale = 200.0
-    n = 1 << 22
+    n = 1 << 24
 
     loader = TestDataLoader(n, seed=1337)
     ps_np = loader.get_pos_smooth().astype(np.float32)
@@ -38,8 +42,11 @@ def main():
     values_np = np.stack([mass, mass * qty], axis=1).astype(np.float32)
     # the flagship export path: static (bucket, Morton) order built ON
     # DEVICE (ops/morton_device.py), transposed field layout, fused Pallas
-    # front-end + accumulation (ops/splat_feed.py, splat_pallas.py)
-    layout = morton_device.build_presorted_device(ps_np)
+    # front-end + accumulation (ops/splat_feed.py, splat_pallas.py).
+    # Snapshot bytes cross the dev harness's ~10-40 MB/s host tunnel
+    # exactly once (device arrays reused for build and apply).
+    ps_dev = jnp.asarray(ps_np)
+    layout = morton_device.build_presorted_device(ps_dev)
     if layout is None:  # pathological fallback, never expected here
         host = morton.build_presorted(ps_np)
         pos_smooth = jnp.asarray(host.apply(ps_np, fill=morton.PAD_POS))
@@ -47,7 +54,7 @@ def main():
         buckets = jnp.asarray(host.buckets)
         G, n_out = host.pad_group, host.n_out
     else:
-        pos_smooth = layout.apply(jnp.asarray(ps_np), fill=morton.PAD_POS)
+        pos_smooth = layout.apply(ps_dev, fill=morton.PAD_POS)
         values = layout.apply(jnp.asarray(values_np))
         buckets = layout.buckets
         G, n_out = layout.pad_group, layout.n_out
@@ -69,7 +76,7 @@ def main():
     # enough iterations per readback that the dev harness's ~28ms host-tunnel
     # sync latency (not part of the render) is amortized below 5%; best of
     # several rounds because tunnel scheduling adds ~3% run-to-run noise
-    reps = 25
+    reps = 8
     best = float("inf")
     for _ in range(6):
         t0 = time.perf_counter()

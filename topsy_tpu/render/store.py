@@ -123,9 +123,13 @@ class ParticleStore:
         if getattr(self, "_presorted_layout", None) is not None:
             return
         from ..ops import morton, morton_device
-        ps = self._loader.get_pos_smooth().astype(np.float32)
-        layout = morton_device.build_presorted_device(ps)
+        # the positions already live on device (padded with zero rows the
+        # builder masks via n_real) — never re-upload them: snapshot bytes
+        # over this harness's host tunnel cost ~10-40 MB/s
+        layout = morton_device.build_presorted_device(self.pos_smooth,
+                                                      n_real=self.n)
         if layout is None:
+            ps = self._loader.get_pos_smooth().astype(np.float32)
             layout = morton.build_presorted(ps)
         self._presorted_layout = layout
         self.n_presorted = layout.n_out
