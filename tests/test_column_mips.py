@@ -168,3 +168,37 @@ def test_interactive_mip_render_matches_export(monkeypatch):
     assert im0.sum() == pytest.approx(im_export[..., 0].sum(), rel=0.05)
     corr0 = np.corrcoef(im0.ravel(), im_export[..., 0].ravel())[0, 1]
     assert corr0 > 0.9
+
+
+def test_distributed_mip_render_matches_export(monkeypatch):
+    """The mesh column path routes mip tiers per shard (each chip renders
+    its slab's tier columns, psum over the mesh): refining a mip-started
+    CHANGE progression to completion reproduces the mesh EXPORT image."""
+    from topsy_tpu.parallel import make_mesh
+    # per-chip floor threshold: 8 devices multiply the target
+    monkeypatch.setattr(config, "COLUMN_MIP_FLOOR_TARGET", 200)
+    monkeypatch.setattr(config, "INITIAL_PARTICLES_TO_RENDER", 500)
+    vis = topsy_tpu.test(60000, render_resolution=128,
+                         canvas_class=OffscreenCanvas, mesh=make_mesh(8))
+    vis.show_status = False
+    sph = vis._sph
+    sph.render(DrawReason.CHANGE)
+    assert isinstance(sph.render_progression, RenderProgressionColumns)
+    assert len(sph.render_progression._tiers) >= 2  # >= 1 mip + main
+    assert sph.last_render_mass_scale > 1.0
+
+    for _ in range(300):
+        if not sph.needs_refine():
+            break
+        sph.render(DrawReason.REFINE)
+    assert not sph.needs_refine()
+    assert sph.last_render_mass_scale == pytest.approx(1.0)
+    im_cols = np.asarray(sph.get_output_image()).copy()
+
+    sph.render(DrawReason.EXPORT)
+    im_export = np.asarray(sph.get_output_image())
+    assert im_cols[..., 0].sum() == pytest.approx(im_export[..., 0].sum(),
+                                                  rel=1e-4)
+    corr = np.corrcoef(im_cols[..., 0].ravel(),
+                       im_export[..., 0].ravel())[0, 1]
+    assert corr > 0.9999

@@ -298,7 +298,8 @@ def build_presorted_device(ps, pad_group: int = 512, pad_total: int = 4096,
 
 
 def build_mip_layout(layout: DevicePresortedLayout, pos_smooth,
-                     seed: int = 1337) -> DevicePresortedLayout | None:
+                     seed: int = 1337, pad_total: int = 4096
+                     ) -> DevicePresortedLayout | None:
     """Decimation-mip layout: a presorted layout over the particles in the
     first ``min_slice_width`` columns of ``layout`` — a spatially fair
     1/(pad_group/w) subsample thanks to the within-group shuffle.
@@ -337,7 +338,8 @@ def build_mip_layout(layout: DevicePresortedLayout, pos_smooth,
         [ps[:n_full], jnp.full((1, 4), PAD_POS, jnp.float32)])
     ps_sub = jnp.take(base, jnp.minimum(sub_c, n_full), axis=0)
     inner = build_presorted_device(ps_sub, pad_group=layout.pad_group,
-                                   seed=seed, n_real=m_real)
+                                   pad_total=pad_total, seed=seed,
+                                   n_real=m_real)
     if inner is None:
         return None
     # compose inner gather (into the compacted subsample) with the

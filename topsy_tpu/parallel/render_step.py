@@ -264,29 +264,36 @@ class DistributedSplatter:
                         else np.zeros(self.n, dtype=np.int32))
             # build on the default device (ops/morton_device.py), then
             # reshard contiguous Morton slabs over the mesh — the host
-            # numpy build costs minutes at >= 2^24 on slow hosts
+            # numpy build costs minutes at >= 2^24 on slow hosts.  Each
+            # source array crosses the upload path exactly once (reused
+            # for the build, the apply and the mip tiers).
+            ps_dev = jnp.asarray(self._host_pos_smooth)
             dlayout = morton_device.build_presorted_device(
-                self._host_pos_smooth, pad_total=4096 * self.n_devices)
+                ps_dev, pad_total=4096 * self.n_devices)
             if dlayout is not None:
-                ln = dlayout.n_out // self.n_devices
+                vals_dev = jnp.asarray(self._host_values)
+                cid_dev = jnp.asarray(cell_ids.astype(np.int32))
 
-                def slab_dev(applied):
+                def slab_dev(applied, ln):
                     return jax.device_put(
                         applied.reshape(self.n_devices, ln,
                                         *applied.shape[1:]), sharding)
 
-                self._presorted = dict(
-                    local_n=ln,
-                    layout=dlayout,
-                    pos=slab_dev(dlayout.apply(
-                        jnp.asarray(self._host_pos_smooth),
-                        fill=morton.PAD_POS)),
-                    values=slab_dev(dlayout.apply(
-                        jnp.asarray(self._host_values))),
-                    buckets=slab_dev(dlayout.buckets),
-                    cell_ids=slab_dev(dlayout.apply(
-                        jnp.asarray(cell_ids.astype(np.int32)))),
-                )
+                def tier_dict(layout):
+                    ln = layout.n_out // self.n_devices
+                    return dict(
+                        local_n=ln,
+                        layout=layout,
+                        pos=slab_dev(layout.apply(ps_dev,
+                                                  fill=morton.PAD_POS), ln),
+                        values=slab_dev(layout.apply(vals_dev), ln),
+                        buckets=slab_dev(layout.buckets, ln),
+                        cell_ids=slab_dev(layout.apply(cid_dev), ln),
+                    )
+
+                self._presorted = tier_dict(dlayout)
+                self._presorted["mips"] = self._build_mesh_mips(
+                    dlayout, ps_dev, tier_dict)
                 return
             layout = morton.build_presorted(self._host_pos_smooth,
                                             pad_total=4096 * self.n_devices)
@@ -352,6 +359,50 @@ class DistributedSplatter:
             cell_ids=slab(layout.apply(cell_ids), 0),
         )
 
+    def _build_mesh_mips(self, dlayout, ps_dev, tier_dict) -> list:
+        """Decimation-mip tiers for the mesh column path (the multi-chip
+        analogue of store.ensure_column_mips): chained presorted layouts
+        over the parent's floor columns, slabbed over the mesh exactly like
+        the main arrays.  The per-chip CHANGE-frame floor is 1/(8D) of the
+        snapshot without tiers, so tiers engage only when even that exceeds
+        COLUMN_MIP_FLOOR_TARGET per chip (i.e. >~10^9 particles on 8
+        chips)."""
+        from .. import config
+        from ..ops import morton, morton_device
+        mips = []  # deepest first, as the tiered progression indexes them
+        layout = dlayout
+        while len(mips) < config.COLUMN_MIP_MAX_TIERS:
+            w = morton.min_slice_width(layout)
+            floor = (int(layout.real_per_column[:w].sum())
+                     if w < layout.pad_group
+                     else int(layout.real_per_column.sum()))
+            if floor <= config.COLUMN_MIP_FLOOR_TARGET * self.n_devices:
+                break
+            mip = morton_device.build_mip_layout(
+                layout, ps_dev, pad_total=4096 * self.n_devices)
+            if mip is None:
+                break
+            mips.insert(0, tier_dict(mip))
+            layout = mip
+        return mips
+
+    def presorted_mip_layouts(self) -> list:
+        """Mip-tier layouts, deepest first (the progression's tier order) —
+        [] when no tiers were built or slabs are unavailable."""
+        if not self.supports_presorted():
+            return []
+        self.ensure_presorted()
+        if not self._presorted:
+            return []
+        return [m["layout"] for m in self._presorted.get("mips", [])]
+
+    def _tier(self, tier: int | None) -> dict:
+        """The presorted dict for a tier index (None = the main layout;
+        otherwise an index into the deepest-first mips list)."""
+        if tier is None:
+            return self._presorted
+        return self._presorted.get("mips", [])[tier]
+
     # -- fused feed-kernel (transposed fields) fast paths -----------------------
 
     def _use_feed(self) -> bool:
@@ -362,12 +413,13 @@ class DistributedSplatter:
                 and (jax.default_backend() == "tpu"
                      or getattr(self, "_force_feed", False)))
 
-    def _presorted_fields(self):
-        """Derive sharded transposed slabs from the presorted dict (lazy,
+    def _presorted_fields(self, ps=None):
+        """Derive sharded transposed slabs from a presorted tier dict (lazy,
         one-time): per-field (D, n_groups_local, pad_group) matrices, the
         layout ops/splat_feed.py consumes — reshapes of sharded arrays are
         local to each device."""
-        ps = self._presorted
+        if ps is None:
+            ps = self._presorted
         if "fields" not in ps:
             ln = ps["local_n"]
             G = ps["layout"].pad_group
@@ -382,16 +434,16 @@ class DistributedSplatter:
             ps["gbuckets"] = ps["buckets"].reshape(D, ngl, G)[:, :, 0]
         return ps
 
-    def _feed_mask(self, cell_mask):
-        """(D, n_groups_local, pad_group) sharded cull mask, rebuilt only
-        when the cell selection changes (the per-particle table gather is
-        far too slow to run per frame)."""
+    def _feed_mask(self, cell_mask, ps=None):
+        """(D, n_groups_local, pad_group) sharded cull mask for one tier,
+        rebuilt only when the cell selection changes (the per-particle
+        table gather is far too slow to run per frame)."""
         if cell_mask is None:
             return None
-        ps = self._presorted_fields()
+        ps = self._presorted_fields(ps)
         mask_np = np.asarray(cell_mask, dtype=bool)
         key = hash(mask_np.tobytes())
-        cached = getattr(self, "_feed_mask_cache", None)
+        cached = ps.get("feed_mask_cache")
         if cached is not None and cached[0] == key:
             return cached[1]
         table = jnp.asarray(mask_np)
@@ -399,7 +451,7 @@ class DistributedSplatter:
         ngl = ps["local_n"] // G
         m = table[ps["cell_ids"]].astype(jnp.float32).reshape(
             self.n_devices, ngl, G)
-        self._feed_mask_cache = (key, m)
+        ps["feed_mask_cache"] = (key, m)
         return m
 
     def _build_presorted_step_fields(self, piece_g: int, whole: bool,
@@ -492,11 +544,11 @@ class DistributedSplatter:
         return jax.jit(shard_fn)
 
     def _render_columns_fields(self, matrix, scale, col0: int, ncols: int,
-                               cell_mask):
+                               cell_mask, ps=None):
         from ..ops.morton import slice_widths
-        ps = self._presorted_fields()
+        ps = self._presorted_fields(ps)
         layout = ps["layout"]
-        mask = self._feed_mask(cell_mask)
+        mask = self._feed_mask(cell_mask, ps)
         base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
         if mask is not None:
             base = base + (mask,)
@@ -560,23 +612,23 @@ class DistributedSplatter:
         self.ensure_presorted()
         return self._presorted["layout"] if self._presorted else None
 
-    def _build_columns_step(self, width: int):
+    def _build_columns_step(self, width: int, pad_group: int):
         """shard_map step rendering columns [col0, col0+width) of every
         device slab's (groups x pad_group) matrix, psum-reduced — the
         multi-chip analogue of render/sph.py's sort-free column LOD (the
         per-group shuffle is global, so the union over devices of a column
-        range is the same fair subsample)."""
+        range is the same fair subsample).  Slab shapes come from the
+        operands, so one step per width serves every decimation tier (jit
+        re-specializes per shape)."""
         axis = self.axis
         resolution = self.resolution
         depth_channel = self._depth_channel
-        local_n = self._presorted["local_n"]
-        pad_group = self._presorted["layout"].pad_group
-        ngr = local_n // pad_group
         C = int(self.values.shape[-1])
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
                          col0):
             pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
+            ngr = pos.shape[0] // pad_group
             c0 = jnp.clip(col0, 0, pad_group - width)
 
             def slice_cols(arr):
@@ -606,7 +658,7 @@ class DistributedSplatter:
             check_vma=False)
         return jax.jit(shard_fn)
 
-    def _build_columns_surface_step(self, width: int):
+    def _build_columns_surface_step(self, width: int, pad_group: int):
         """shard_map step for surface (front-most fragment) column renders.
 
         Each shard z-splats its slab's column slice through the Pallas
@@ -621,13 +673,11 @@ class DistributedSplatter:
         from ..ops import zsplat_atlas
         axis = self.axis
         resolution = self.resolution
-        local_n = self._presorted["local_n"]
-        pad_group = self._presorted["layout"].pad_group
-        ngr = local_n // pad_group
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
                          cut, col0):
             pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
+            ngr = pos.shape[0] // pad_group
             c0 = jnp.clip(col0, 0, pad_group - width)
 
             def slice_cols(arr):
@@ -664,14 +714,15 @@ class DistributedSplatter:
         return jax.jit(shard_fn)
 
     def render_columns_surface(self, matrix, scale, density_cut, col0: int,
-                               ncols: int, cell_mask=None):
+                               ncols: int, cell_mask=None, tier=None):
         """Front-most surface render of columns [col0, col0+ncols) across
         the mesh; returns (image (res, res, C), dropped).  Pieces combine
         host-side with the same strictly-greater depth compare as the
-        single-chip renderer."""
+        single-chip renderer.  ``tier`` selects a decimation-mip tier's
+        slabs (deepest first; None = main layout)."""
         from ..ops.morton import slice_widths
         self.ensure_presorted()
-        ps = self._presorted
+        ps = self._tier(tier)
         layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
         steps = getattr(self, "_column_surface_steps", None)
@@ -685,7 +736,8 @@ class DistributedSplatter:
                 step = steps.get(width)
                 if step is None:
                     step = steps[width] = \
-                        self._build_columns_surface_step(width)
+                        self._build_columns_surface_step(
+                            width, layout.pad_group)
                 im, d = step(ps["pos"], ps["values"], ps["buckets"],
                              ps["cell_ids"], table,
                              jnp.asarray(matrix, jnp.float32),
@@ -703,16 +755,17 @@ class DistributedSplatter:
         return total, dropped
 
     def render_columns(self, matrix, scale, col0: int, ncols: int,
-                       cell_mask=None):
+                       cell_mask=None, tier=None):
         """Render whole columns [col0, col0+ncols) across the mesh,
         decomposed into power-of-two slice widths; returns (image, dropped).
-        """
+        ``tier`` selects a decimation-mip tier's slabs (deepest first;
+        None = main layout)."""
         from ..ops.morton import slice_widths
         self.ensure_presorted()
+        ps = self._tier(tier)
         if self._use_feed():
             return self._render_columns_fields(matrix, scale, col0, ncols,
-                                               cell_mask)
-        ps = self._presorted
+                                               cell_mask, ps)
         layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
         total = None
@@ -723,7 +776,7 @@ class DistributedSplatter:
                 step = self._column_steps.get(width)
                 if step is None:
                     step = self._column_steps[width] = \
-                        self._build_columns_step(width)
+                        self._build_columns_step(width, layout.pad_group)
                 im, d = step(ps["pos"], ps["values"], ps["buckets"],
                              ps["cell_ids"], table,
                              jnp.asarray(matrix, jnp.float32),

@@ -78,11 +78,24 @@ class MeshSplatterMixin:
         if layout is None or layout.real_per_column is None:
             return False
         from ..ops.morton import min_slice_width
+        # decimation-mip tiers (per-chip CHANGE floor below 1/(8D) of the
+        # snapshot — engages only beyond ~10^9 particles on 8 chips)
+        mips = splatter.presorted_mip_layouts()
+        self._column_mip_count = len(mips)
         self._render_progression = RenderProgressionColumns(
             layout.real_per_column,
             cell_layout=getattr(self._render_progression, "cell_layout", None),
-            col_quantum=min_slice_width(layout))
+            col_quantum=min_slice_width(layout),
+            mip_tiers=[(m.real_per_column, min_slice_width(m))
+                       for m in mips])
         return True
+
+    def _column_tier(self):
+        """Map the progression's last block tier to the splatter's tier
+        argument (None = main layout)."""
+        n_mips = getattr(self, "_column_mip_count", 0)
+        ti = getattr(self._render_progression, "last_block_tier", n_mips)
+        return ti if ti < n_mips else None
 
 
 class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
@@ -95,7 +108,7 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
         with self._render_timer:
             im, dropped = splatter.render_columns(
                 np.asarray(matrix), float(scale), col0, ncols,
-                cell_mask=mask)
+                cell_mask=mask, tier=self._column_tier())
             self._dropped_splats = dropped
             if first_block:
                 self._image = im
@@ -192,7 +205,7 @@ class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
         with self._render_timer:
             im, dropped = splatter.render_columns_surface(
                 np.asarray(matrix), float(scale), float(cut), col0, ncols,
-                cell_mask=mask)
+                cell_mask=mask, tier=self._column_tier())
             self._dropped_splats = dropped
             if first_block:
                 self._image = im

@@ -55,17 +55,23 @@ class ParticleStore:
         self.pos_smooth = self._put(self._pad(pos_smooth))
 
         self._mass = data_loader.get_mass().astype(np.float32)
-        self.mass_and_quantity = self._put(
-            self._pad(np.stack([self._mass, np.zeros_like(self._mass)], axis=1)))
+        # the quantity column is zeros until a quantity is selected — built
+        # on device so only the mass bytes cross the upload path
+        m = self._put(self._pad(self._mass))
+        self.mass_and_quantity = jnp.stack([m, jnp.zeros_like(m)], axis=1)
         self._rgb = None
 
         cell_ids = data_loader.get_cell_ids()
         if cell_ids is None:
-            cell_ids = np.zeros(self.n, dtype=np.int32)
+            # no spatial index: a single cell — synthesized on device (a
+            # host zeros array would ship n*4 bytes over the upload path)
             self.n_cells = 1
+            self.cell_ids = jnp.zeros(self.n_pad, dtype=jnp.int32)
+            if self._device is not None:
+                self.cell_ids = jax.device_put(self.cell_ids, self._device)
         else:
             self.n_cells = int(cell_ids.max()) + 1 if len(cell_ids) else 1
-        self.cell_ids = self._put(self._pad(cell_ids.astype(np.int32)))
+            self.cell_ids = self._put(self._pad(cell_ids.astype(np.int32)))
         self._all_cells_mask = self._put(np.ones(self.n_cells, dtype=bool))
 
     def _pad(self, arr: np.ndarray) -> np.ndarray:
@@ -90,11 +96,13 @@ class ParticleStore:
         if name == self._quantity_name:
             return
         if name is None:
-            mq = np.stack([self._mass, np.zeros_like(self._mass)], axis=1)
+            m = self._put(self._pad(self._mass))
+            self.mass_and_quantity = jnp.stack([m, jnp.zeros_like(m)],
+                                               axis=1)
         else:
             qty = self._loader.get_named_quantity(name).astype(np.float32)
             mq = np.stack([self._mass, self._mass * qty], axis=1)
-        self.mass_and_quantity = self._put(self._pad(mq))
+            self.mass_and_quantity = self._put(self._pad(mq))
         self._quantity_name = name
         self.values_version += 1
         logger.info("Rebuilt quantity channel buffer for %r", name)
