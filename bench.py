@@ -6,7 +6,11 @@ config.SPLAT_FEED_LAUNCH_CAP, the analogue of the reference's 2^25-
 particles-per-call EXPORT chunking) through the full TPU splat pipeline
 and reports steady-state splats/second.  Per-frame overheads amortize
 with scene size, so this is also the configuration 10^8-particle piece
-loops sustain (benchmarks/scale.py).
+loops sustain (benchmarks/scale.py).  The snapshot and its presorted
+layout are generated/built on device (loaders.test_data_device,
+ops/morton_device.py): in this dev harness the host tunnel moves only
+~1-40 MB/s, so uploading the 384 MB snapshot would dominate wall time
+without touching the measured metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the 500M splats/s/chip north star (BASELINE.md).
@@ -25,7 +29,6 @@ def main():
     import jax.numpy as jnp
 
     from topsy_tpu import camera
-    from topsy_tpu.loaders import TestDataLoader
     from topsy_tpu.ops import morton, morton_device, splat_atlas
     from topsy_tpu.util import enable_persistent_compile_cache
 
@@ -35,19 +38,20 @@ def main():
     scale = 200.0
     n = 1 << 24
 
-    loader = TestDataLoader(n, seed=1337)
-    ps_np = loader.get_pos_smooth().astype(np.float32)
-    mass = loader.get_mass()
-    qty = loader.get_named_quantity("test-quantity")
-    values_np = np.stack([mass, mass * qty], axis=1).astype(np.float32)
-    # the flagship export path: static (bucket, Morton) order built ON
-    # DEVICE (ops/morton_device.py), transposed field layout, fused Pallas
-    # front-end + accumulation (ops/splat_feed.py, splat_pallas.py).
-    # Snapshot bytes cross the dev harness's ~10-40 MB/s host tunnel
-    # exactly once (device arrays reused for build and apply).
-    ps_dev = jnp.asarray(ps_np)
+    # the flagship export path: the synthetic snapshot is generated ON
+    # DEVICE (same GMM distribution as TestDataLoader — see
+    # loaders.test_data_device) and the static (bucket, Morton) order is
+    # built ON DEVICE too (ops/morton_device.py), so NOTHING crosses the
+    # dev harness's slow host tunnel; the render uses the transposed field
+    # layout with the fused Pallas front-end + accumulation
+    # (ops/splat_feed.py, splat_pallas.py).
+    from topsy_tpu.loaders import test_data_device
+    ps_dev, mass_dev, qty_dev = test_data_device(n, seed=1337)
+    values_dev = jnp.stack([mass_dev, mass_dev * qty_dev], axis=1)
     layout = morton_device.build_presorted_device(ps_dev)
     if layout is None:  # pathological fallback, never expected here
+        ps_np = np.asarray(ps_dev)
+        values_np = np.asarray(values_dev)
         host = morton.build_presorted(ps_np)
         pos_smooth = jnp.asarray(host.apply(ps_np, fill=morton.PAD_POS))
         values = jnp.asarray(host.apply(values_np))
@@ -55,7 +59,7 @@ def main():
         G, n_out = host.pad_group, host.n_out
     else:
         pos_smooth = layout.apply(ps_dev, fill=morton.PAD_POS)
-        values = layout.apply(jnp.asarray(values_np))
+        values = layout.apply(values_dev)
         buckets = layout.buckets
         G, n_out = layout.pad_group, layout.n_out
     ng = n_out // G

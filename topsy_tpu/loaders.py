@@ -208,6 +208,57 @@ class TestDataLoader(AbstractDataLoader):
         return "test data"
 
 
+def test_data_device(n: int, seed: int = 1337):
+    """TestDataLoader's synthetic snapshot generated ON DEVICE.
+
+    Returns jnp arrays (pos_smooth (n, 4) f32, mass (n,), quantity (n,)) —
+    the same 3-component Gaussian mixture, analytic-density smoothing
+    (2/rho^(1/3)) and test-quantity formulas as TestDataLoader (reference:
+    loader.py:241-332), drawn with jax.random instead of numpy so nothing
+    crosses the host->device link (the dev harness's tunnel moves ~1-40 MB/s;
+    uploading a 2^24-particle snapshot costs minutes, generating it on
+    device costs milliseconds).  The draw is seeded/deterministic but NOT
+    bit-identical to TestDataLoader's numpy stream; the distribution — and
+    therefore every benchmark characteristic — is identical.  Particle
+    order differs only by the absent final permutation, which the presort's
+    within-group shuffle re-randomizes anyway.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    weights = [0.5, 0.4, 0.1]
+    means = np.array([[0.0, 0.0, 0.0], [0.0, 0.0, 0.0], [6.0, 10.0, 0.0]],
+                     np.float32)
+    stds = np.array([[20.0, 20.0, 20.0], [4.0, 0.2, 4.0], [2.0, 2.0, 3.0]],
+                    np.float32)
+
+    @jax.jit
+    def _gen(key):
+        z = jax.random.normal(key, (n, 3), jnp.float32)
+        # contiguous component blocks, same counts as TestDataLoader
+        n0 = int(n * weights[0])
+        n1 = int(n * weights[1])
+        idx = jnp.arange(n)
+        c1 = (idx >= n0)[:, None]
+        c2 = (idx >= n0 + n1)[:, None]
+        std = jnp.where(c2, stds[2], jnp.where(c1, stds[1], stds[0]))
+        mean = jnp.where(c2, means[2], jnp.where(c1, means[1], means[0]))
+        pos = z * std + mean
+        den = jnp.zeros((n,), jnp.float32)
+        for i, w in enumerate(weights):
+            norm = float((2 * np.pi) ** 1.5 * np.prod(stds[i].astype(np.float64)))
+            den = den + w * jnp.exp(
+                -jnp.sum((pos - means[i]) ** 2 / stds[i] ** 2, axis=1)) / norm
+        den = den * n
+        smooth = 2.0 / den ** 0.333333
+        mass = jnp.full((n,), 1e-8, jnp.float32)
+        qty = (jnp.sin(pos[:, 0]) * jnp.cos(pos[:, 1])
+               * jnp.cos(pos[:, 2]) * 1e-4)
+        return jnp.concatenate([pos, smooth[:, None]], axis=1), mass, qty
+
+    return _gen(jax.random.PRNGKey(seed))
+
+
 class ArrayDataLoader(AbstractDataLoader):
     """Loader for raw numpy arrays — no pynbody required.
 

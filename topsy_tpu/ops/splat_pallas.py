@@ -84,6 +84,15 @@ FULL_CLASS = len(SIZE_CLASSES) - 1
 
 SUPPORT2 = kernels.KERNEL_SUPPORT ** 2
 
+# Skip the window *load* DMA for first-touch windows (base atlas all-zero):
+# the VMEM scratch is zero-filled instead, halving window-change DMA traffic
+# in the main pass.  Exactness: a window is "fresh" only if no earlier group
+# touched any band/column window overlapping it (3x3 cell neighbourhood —
+# bands are band_rows tall on a ROW_QUANTUM grid and windows 2x COL_ALIGN
+# wide, so overlap reaches exactly +-1 cell).  A/B toggle for
+# benchmarks/ab_kernel.py.
+FRESH_SKIP = True
+
 
 def _profiles_lanes(t2, tiny, lrk, signed: bool):
     """(n, rank*G) profiles (lane-concatenated over rank) with CIC hats.
@@ -222,7 +231,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                  band_rows: int):
     rolled = profile_cols != window_cols
 
-    def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref,
+    def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, fr_ref, ay_ref, ax_ref,
                ih_ref, *rest):
         # rest: C per-channel coef refs (separate (1, S, G) blocks: a fused
         # (1, S, C, G) block's (C, G) inner tile costs ~2.8 us/group of
@@ -262,13 +271,20 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             prev = jnp.maximum(ig - 1, 0)
             changed = first | (wb != wb_ref[prev]) | (c0 != c0_ref[prev])
 
+            fresh = fr_ref[ig] == 1
+
             @pl.when(changed & jnp.logical_not(first))
             def _(prev=prev):
                 flush(prev)
 
-            @pl.when(changed)
+            @pl.when(changed & jnp.logical_not(fresh))
             def _(ig=ig):
                 load(ig)
+
+            @pl.when(changed & fresh)
+            def _():
+                win_ref[...] = jnp.zeros((C, band_rows, window_cols),
+                                         jnp.float32)
 
             cbase = ce_ref[ig] if rolled else c0
             coefs = [cref[0, s][None, :] for cref in coef_refs]
@@ -338,6 +354,35 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         band_rows = window_rows  # no VMEM headroom (or tiny atlas): 1:1
         wb = w0
 
+    # first-touch flags: 1 where no earlier group's window can overlap this
+    # group's band.  Built without scatters/gathers (both slow on TPU): a
+    # one-hot (n_groups, n_cells) min-reduce gives the earliest-touch index
+    # per (band, column) cell, a 3x3 min-pool extends it to the overlap
+    # neighbourhood, and a one-hot dot reads it back per group.  Only valid
+    # when the base atlas is all-zero (atlas0 is None) and windows ride the
+    # quantized band grid.
+    n_cells = 0
+    if atlas0 is None and FRESH_SKIP and band_rows != window_rows:
+        n_r = atlas_rows // qa + 1
+        n_c = atlas_cols // COL_ALIGN
+        n_cells = n_r * n_c
+    if n_cells and n_groups * n_cells <= (1 << 25):
+        cell = (wb // qa) * n_c + c0 // COL_ALIGN
+        idxf = jnp.arange(n_groups, dtype=jnp.float32)
+        onehot = cell[:, None] == jnp.arange(n_cells, dtype=cell.dtype)
+        earliest = jnp.min(
+            jnp.where(onehot, idxf[:, None], jnp.float32(n_groups)), axis=0)
+        padded = jnp.pad(earliest.reshape(n_r, n_c), 1,
+                         constant_values=float(n_groups))
+        pooled = earliest.reshape(n_r, n_c)
+        for dr in range(3):
+            for dc in range(3):
+                pooled = jnp.minimum(pooled, padded[dr:dr + n_r, dc:dc + n_c])
+        mine = onehot.astype(jnp.float32) @ pooled.reshape(-1)
+        fresh = (mine == idxf).astype(jnp.int32)
+    else:
+        fresh = jnp.zeros_like(w0)
+
     kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
                           profile_cols, window_rows, band_rows)
 
@@ -356,7 +401,7 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
 
     row_spec = pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=6,
         grid=(n_steps,),
         in_specs=[row_spec] * (3 + C) + [pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -373,11 +418,11 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((C, atlas_rows, atlas_cols), jnp.float32),
-        # atlas input follows 5 scalar-prefetch + (3 + C) tensor inputs
-        input_output_aliases={8 + C: 0},
+        # atlas input follows 6 scalar-prefetch + (3 + C) tensor inputs
+        input_output_aliases={9 + C: 0},
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(wb, w0, c0, ce, flags, ay_b, ax_b, ih_b, *coef_bs, atlas0)
+    )(wb, w0, c0, ce, flags, fresh, ay_b, ax_b, ih_b, *coef_bs, atlas0)
 
 
 def group_flags(ih_groups: jnp.ndarray, coef_groups: jnp.ndarray,
