@@ -222,7 +222,13 @@ def test_data_device(n: int, seed: int = 1337):
     therefore every benchmark characteristic — is identical.  Particle
     order differs only by the absent final permutation, which the presort's
     within-group shuffle re-randomizes anyway.
+
+    Large-n helper only: the contiguous component blocks use int(n*w)
+    rounding without TestDataLoader's n==1 special case (where the single
+    particle belongs to component 0, not 2) — use TestDataLoader itself for
+    tiny n.
     """
+    assert n >= 16, "test_data_device is a large-n benchmark helper"
     import jax
     import jax.numpy as jnp
 

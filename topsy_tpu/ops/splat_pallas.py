@@ -87,10 +87,14 @@ SUPPORT2 = kernels.KERNEL_SUPPORT ** 2
 # Skip the window *load* DMA for first-touch windows (base atlas all-zero):
 # the VMEM scratch is zero-filled instead, halving window-change DMA traffic
 # in the main pass.  Exactness: a window is "fresh" only if no earlier group
-# touched any band/column window overlapping it (3x3 cell neighbourhood —
-# bands are band_rows tall on a ROW_QUANTUM grid and windows 2x COL_ALIGN
-# wide, so overlap reaches exactly +-1 cell).  A/B toggle for
-# benchmarks/ab_kernel.py.
+# touched any band/column window overlapping it.  Bands are band_rows tall
+# on a qa-row anchor grid and windows window_cols wide on a COL_ALIGN grid,
+# so two bands/windows overlap iff their cell indices differ by at most
+# (band_rows-1)//qa rows / (window_cols-1)//COL_ALIGN columns — the min-pool
+# neighbourhood is sized from exactly those radii (band_rows > 2*qa in every
+# shipped presorted config, so a fixed 3x3 pool would falsely mark bands
+# fresh and zero-clobber earlier deposits).  Default for the ``fresh_skip``
+# parameter; A/B-tested in tests/test_splat_pallas_fresh.py.
 FRESH_SKIP = True
 
 
@@ -309,12 +313,13 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "C", "group",
                                     "interpret", "window_cols",
-                                    "window_rows"))
+                                    "window_rows", "fresh_skip"))
 def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
                              atlas_rows: int, atlas_cols: int, C: int,
                              group: int, interpret: bool = False,
                              atlas0=None, window_cols: int = WINDOW_COLS,
-                             window_rows: int = WINDOW_ROWS):
+                             window_rows: int = WINDOW_ROWS,
+                             fresh_skip: bool = FRESH_SKIP):
     """Run the fused accumulation.
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G), or a
@@ -355,30 +360,37 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         wb = w0
 
     # first-touch flags: 1 where no earlier group's window can overlap this
-    # group's band.  Built without scatters/gathers (both slow on TPU): a
-    # one-hot (n_groups, n_cells) min-reduce gives the earliest-touch index
-    # per (band, column) cell, a 3x3 min-pool extends it to the overlap
-    # neighbourhood, and a one-hot dot reads it back per group.  Only valid
-    # when the base atlas is all-zero (atlas0 is None) and windows ride the
-    # quantized band grid.
+    # group's band.  Built without scatters (slow on TPU): a one-hot
+    # (n_groups, n_cells) min-reduce gives the earliest-touch index per
+    # (band, column) cell, a min-pool sized by the true overlap radii —
+    # bands anchored on a qa grid span band_rows rows, so anchors up to
+    # (band_rows-1)//qa cells apart overlap (and analogously for columns) —
+    # extends it to the overlap neighbourhood, and an exact row-gather reads
+    # it back per group (indices exceed bf16's exact-integer range, so a
+    # default-precision matmul readback would corrupt the flags).  Only
+    # valid when the base atlas is all-zero (atlas0 is None) and windows
+    # ride the quantized band grid.
     n_cells = 0
-    if atlas0 is None and FRESH_SKIP and band_rows != window_rows:
+    if atlas0 is None and fresh_skip and band_rows != window_rows:
         n_r = atlas_rows // qa + 1
         n_c = atlas_cols // COL_ALIGN
         n_cells = n_r * n_c
     if n_cells and n_groups * n_cells <= (1 << 25):
+        rad_r = (band_rows - 1) // qa
+        rad_c = (window_cols - 1) // COL_ALIGN
         cell = (wb // qa) * n_c + c0 // COL_ALIGN
         idxf = jnp.arange(n_groups, dtype=jnp.float32)
         onehot = cell[:, None] == jnp.arange(n_cells, dtype=cell.dtype)
         earliest = jnp.min(
             jnp.where(onehot, idxf[:, None], jnp.float32(n_groups)), axis=0)
-        padded = jnp.pad(earliest.reshape(n_r, n_c), 1,
+        padded = jnp.pad(earliest.reshape(n_r, n_c), ((rad_r, rad_r),
+                                                      (rad_c, rad_c)),
                          constant_values=float(n_groups))
         pooled = earliest.reshape(n_r, n_c)
-        for dr in range(3):
-            for dc in range(3):
+        for dr in range(2 * rad_r + 1):
+            for dc in range(2 * rad_c + 1):
                 pooled = jnp.minimum(pooled, padded[dr:dr + n_r, dc:dc + n_c])
-        mine = onehot.astype(jnp.float32) @ pooled.reshape(-1)
+        mine = jnp.take(pooled.reshape(-1), cell)
         fresh = (mine == idxf).astype(jnp.int32)
     else:
         fresh = jnp.zeros_like(w0)
