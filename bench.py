@@ -1,16 +1,25 @@
-"""Headline benchmark: particle splat throughput on one chip.
+"""Headline benchmark: the PRODUCT EXPORT loop on one chip.
 
-Renders the synthetic 2^24-particle snapshot at 1024x1024 (density +
-weighted-quantity channels — the largest single fused-feed EXPORT launch,
-config.SPLAT_FEED_LAUNCH_CAP, the analogue of the reference's 2^25-
-particles-per-call EXPORT chunking) through the full TPU splat pipeline
-and reports steady-state splats/second.  Per-frame overheads amortize
-with scene size, so this is also the configuration 10^8-particle piece
-loops sustain (benchmarks/scale.py).  The snapshot and its presorted
-layout are generated/built on device (loaders.test_data_device,
-ops/morton_device.py): in this dev harness the host tunnel moves only
-~1-40 MB/s, so uploading the 384 MB snapshot would dominate wall time
-without touching the measured metric.
+Drives the full Visualizer (loaders -> ParticleStore -> progression ->
+SPHRenderer presorted fused-feed path -> giant layer) exactly as a movie
+export does: repeated ``render(DrawReason.EXPORT)`` frames over the
+2^24-particle synthetic snapshot at 1024x1024 with density + weighted-
+quantity channels, and reports steady-state splats/second.  This is the
+path users run — not a raw kernel call.
+
+The snapshot is generated ON DEVICE and adopted by the store without a
+host upload (loaders.TestDataDeviceLoader / AbstractDataLoader
+.device_arrays), and the presorted (bucket, Morton) order is built on
+device too (ops/morton_device.py): in this dev harness the host tunnel
+moves only ~1-40 MB/s, so uploading the 384 MB snapshot would dominate
+wall time without touching the measured metric.
+
+Timing uses the axon-trustworthy barrier (util.device_sync — a
+data-dependent scalar readback; jax.block_until_ready returns without
+waiting under tunneled runtimes, CLAUDE.md).  EXPORT frames run
+barrier-free (throughput mode), so several frames per readback amortize
+the ~28 ms tunnel sync latency below 2%; the one residual readback's
+calibrated fixed cost is subtracted.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where the
 baseline is the 500M splats/s/chip north star (BASELINE.md).
@@ -21,80 +30,54 @@ from __future__ import annotations
 import json
 import time
 
-import numpy as np
-
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from topsy_tpu import camera
-    from topsy_tpu.ops import morton, morton_device, splat_atlas
-    from topsy_tpu.util import enable_persistent_compile_cache
+    from topsy_tpu.canvas import OffscreenCanvas
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.loaders import TestDataDeviceLoader
+    from topsy_tpu.util import (device_sync, enable_persistent_compile_cache,
+                                sync_latency)
+    from topsy_tpu.visualizer import Visualizer
 
     enable_persistent_compile_cache()
 
-    resolution = 1024
-    scale = 200.0
     n = 1 << 24
+    resolution = 1024
 
-    # the flagship export path: the synthetic snapshot is generated ON
-    # DEVICE (same GMM distribution as TestDataLoader — see
-    # loaders.test_data_device) and the static (bucket, Morton) order is
-    # built ON DEVICE too (ops/morton_device.py), so NOTHING crosses the
-    # dev harness's slow host tunnel; the render uses the transposed field
-    # layout with the fused Pallas front-end + accumulation
-    # (ops/splat_feed.py, splat_pallas.py).
-    from topsy_tpu.loaders import test_data_device
-    ps_dev, mass_dev, qty_dev = test_data_device(n, seed=1337)
-    values_dev = jnp.stack([mass_dev, mass_dev * qty_dev], axis=1)
-    layout = morton_device.build_presorted_device(ps_dev)
-    if layout is None:  # pathological fallback, never expected here
-        ps_np = np.asarray(ps_dev)
-        values_np = np.asarray(values_dev)
-        host = morton.build_presorted(ps_np)
-        pos_smooth = jnp.asarray(host.apply(ps_np, fill=morton.PAD_POS))
-        values = jnp.asarray(host.apply(values_np))
-        buckets = jnp.asarray(host.buckets)
-        G, n_out = host.pad_group, host.n_out
-    else:
-        pos_smooth = layout.apply(ps_dev, fill=morton.PAD_POS)
-        values = layout.apply(values_dev)
-        buckets = layout.buckets
-        G, n_out = layout.pad_group, layout.n_out
-    ng = n_out // G
-    fields = tuple(pos_smooth[:, k].reshape(ng, G) for k in range(4))
-    values_cm = tuple(values[:, c].reshape(ng, G) for c in range(2))
-    group_buckets = buckets.reshape(ng, G)[:, 0]
-    matrix = jnp.asarray(
-        camera.world_to_clip_matrix(np.eye(3), np.zeros(3), scale), jnp.float32)
+    vis = Visualizer(data_loader_class=TestDataDeviceLoader,
+                     data_loader_args=(n,),
+                     data_loader_kwargs={"seed": 1337},
+                     render_resolution=resolution,
+                     canvas_class=OffscreenCanvas)
+    vis.show_status = False
+    vis.quantity_name = "test-quantity"  # density + weighted channels
+    vis.scale = 200.0
+    vis.store.ensure_presorted()
 
-    fn = jax.jit(lambda f, v, m, b: splat_atlas.splat_atlas_fields(
-        f, v, m, resolution, scale, b)[0])
+    # warm up: first EXPORT pays compile + program load
+    vis._sph.render(DrawReason.EXPORT)
+    device_sync(vis._sph._image)
+    vis._sph.render(DrawReason.EXPORT)
+    device_sync(vis._sph._image)
+    lat = sync_latency()
 
-    # warm up / compile
-    im = fn(fields, values_cm, matrix, group_buckets)
-    jax.block_until_ready(im)
-    float(np.asarray(im[0, 0, 0]))
-
-    # enough iterations per readback that the dev harness's ~28ms host-tunnel
-    # sync latency (not part of the render) is amortized below 5%; best of
-    # several rounds because tunnel scheduling adds ~3% run-to-run noise
+    # several frames per readback so the tunnel's fixed sync latency is
+    # amortized below 2%; best of several rounds because tunnel scheduling
+    # adds ~3% run-to-run noise
     reps = 8
     best = float("inf")
     for _ in range(6):
         t0 = time.perf_counter()
         for _ in range(reps):
-            im = fn(fields, values_cm, matrix, group_buckets)
-        # force full execution incl. readback sync
-        float(np.asarray(im.sum()))
-        dt = (time.perf_counter() - t0) / reps
+            vis._sph.render(DrawReason.EXPORT)
+        device_sync(vis._sph._image)
+        dt = (time.perf_counter() - t0 - lat) / reps
         best = min(best, dt)
 
     splats_per_sec = n / best
     baseline = 5e8  # north-star target (BASELINE.md)
     print(json.dumps({
-        "metric": "particle-splats/sec/chip",
+        "metric": "product-EXPORT splats/sec/chip",
         "value": round(splats_per_sec, 1),
         "unit": "splats/s",
         "vs_baseline": round(splats_per_sec / baseline, 4),

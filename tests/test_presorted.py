@@ -133,17 +133,22 @@ def test_column_slices_cover_exactly(snap):
     matrix = jnp.asarray(camera.world_to_clip_matrix(np.eye(3), np.zeros(3),
                                                      scale), jnp.float32)
 
+    # coverage identity is about slicing, not giant handling: compare
+    # both sides with the truncated deposit
     im_full, _ = splat_atlas.splat_atlas(ps_p, vals_p, matrix, resolution,
-                                         scale, presorted_buckets=buckets)
+                                         scale, presorted_buckets=buckets,
+                                         giants="none")
     im_full = np.asarray(im_full)
 
     from topsy_tpu.render.sph import _render_block_columns
+    from topsy_tpu.ops.splat_giant import BUCKET_DISABLED
     acc = None
     pg = layout.pad_group
     for c0 in range(0, pg, 128):
         im, dropped = _render_block_columns(
             ps_p, vals_p, buckets, None, None, matrix, jnp.float32(scale),
-            jnp.int32(c0), resolution=resolution, width=128,
+            jnp.int32(c0), jnp.int32(BUCKET_DISABLED),
+            resolution=resolution, width=128,
             depth_channel=False, pad_group=pg)
         assert int(dropped) == 0
         acc = np.asarray(im) if acc is None else acc + np.asarray(im)
@@ -164,12 +169,15 @@ def test_column_slice_is_fair_subsample(snap):
     matrix = jnp.asarray(camera.world_to_clip_matrix(np.eye(3), np.zeros(3),
                                                      scale), jnp.float32)
     im_full, _ = splat_atlas.splat_atlas(ps_p, vals_p, matrix, resolution,
-                                         scale, presorted_buckets=buckets)
+                                         scale, presorted_buckets=buckets,
+                                         giants="none")
     im_full = np.asarray(im_full)[..., 0]
 
     from topsy_tpu.render.sph import _render_block_columns
+    from topsy_tpu.ops.splat_giant import BUCKET_DISABLED
     im, _ = _render_block_columns(ps_p, vals_p, buckets, None, None, matrix,
                                   jnp.float32(scale), jnp.int32(0),
+                                  jnp.int32(BUCKET_DISABLED),
                                   resolution=resolution, width=128,
                                   depth_channel=False,
                                   pad_group=layout.pad_group)
@@ -279,13 +287,16 @@ def test_column_path_cell_masking(snap):
     matrix = jnp.asarray(camera.world_to_clip_matrix(np.eye(3), np.zeros(3),
                                                      scale), jnp.float32)
     from topsy_tpu.render.sph import _render_block_columns
+    from topsy_tpu.ops.splat_giant import BUCKET_DISABLED
     im_culled, _ = _render_block_columns(
         jnp.asarray(ps_p), jnp.asarray(vals_p), buckets, cell_ids, table,
-        matrix, jnp.float32(scale), jnp.int32(0), resolution=resolution,
+        matrix, jnp.float32(scale), jnp.int32(0),
+        jnp.int32(BUCKET_DISABLED), resolution=resolution,
         width=128, depth_channel=False, pad_group=layout.pad_group)
     im_all, _ = _render_block_columns(
         jnp.asarray(ps_p), jnp.asarray(vals_p), buckets, None, None,
-        matrix, jnp.float32(scale), jnp.int32(0), resolution=resolution,
+        matrix, jnp.float32(scale), jnp.int32(0),
+        jnp.int32(BUCKET_DISABLED), resolution=resolution,
         width=128, depth_channel=False, pad_group=layout.pad_group)
     im_culled = np.asarray(im_culled)[..., 0]
     im_all = np.asarray(im_all)[..., 0]
@@ -299,7 +310,8 @@ def test_column_path_cell_masking(snap):
     im_ref, _ = splat_atlas.splat_atlas(
         jnp.asarray(slice_cols(ps_p)), jnp.asarray(slice_cols(vals_p)),
         matrix, resolution, scale, extra_mask=jnp.asarray(keep),
-        presorted_buckets=jnp.asarray(slice_cols(layout.buckets)))
+        presorted_buckets=jnp.asarray(slice_cols(layout.buckets)),
+        giants="none")
     np.testing.assert_allclose(im_culled, np.asarray(im_ref)[..., 0],
                                rtol=1e-5, atol=1e-12)
 

@@ -32,10 +32,20 @@ def test_single_particle_mass_conserved_and_centred():
         vals = np.array([[2.5]], dtype=np.float32)
         im = render_scatter(ps, vals, make_matrix())[:, :, 0]
         total = im.sum() * pixel_area()
+        # giant splats render at full support (ops/splat_giant.py), so wings
+        # beyond the viewport legitimately leave the screen — the expected
+        # on-screen mass is the exact evaluator's, not 2.5 (matching the
+        # reference's rasterizer, which clips quads at the viewport)
+        expect = 2.5
+        if h * RES / (2 * SCALE) > 8.0:  # support reaches past the image
+            bf = np.asarray(splat.splat_bruteforce(
+                jnp.asarray(ps), jnp.asarray(vals),
+                jnp.asarray(make_matrix()), RES, SCALE))[:, :, 0]
+            expect = bf.sum() * pixel_area()
         # sub-pixel splats conserve mass only on phase average (the
         # normalization table is phase-averaged); resolved splats are exact
         rel = 0.15 if h * RES / (2 * SCALE) < 1.0 else 0.02
-        assert total == pytest.approx(2.5, rel=rel), f"h={h}"
+        assert total == pytest.approx(expect, rel=rel), f"h={h}"
         # centre of mass at image centre (pixel 63.5)
         ys, xs = np.mgrid[0:RES, 0:RES]
         com_y = (im * ys).sum() / im.sum()

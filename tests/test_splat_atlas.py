@@ -39,7 +39,17 @@ def test_atlas_single_particle_mass():
         im, dropped = render_atlas(ps, vals, make_matrix())
         assert dropped == 0
         total = im[:, :, 0].sum() * pixel_area()
-        assert total == pytest.approx(3.0, rel=0.02), f"h={h}"
+        # giants render at full support: wings past the viewport edge carry
+        # mass off screen, exactly as the reference's clipped quads do —
+        # the exact evaluator gives the on-screen expectation
+        expect = 3.0
+        if h * RES / (2 * SCALE) > 8.0:
+            from topsy_tpu.ops import splat
+            bf = np.asarray(splat.splat_bruteforce(
+                jnp.asarray(ps), jnp.asarray(vals),
+                jnp.asarray(make_matrix()), RES, SCALE))[:, :, 0]
+            expect = bf.sum() * pixel_area()
+        assert total == pytest.approx(expect, rel=0.02), f"h={h}"
         ys, xs = np.mgrid[0:RES, 0:RES]
         assert (im[:, :, 0] * xs).sum() / im[:, :, 0].sum() == pytest.approx(63.5, abs=0.1)
         assert (im[:, :, 0] * ys).sum() / im[:, :, 0].sum() == pytest.approx(63.5, abs=0.1)
@@ -155,10 +165,11 @@ def test_atlas_giant_splats_masked_path(engine):
                                           SCALE, engine=engine)
     im, dropped = np.asarray(im), int(dropped)
     assert dropped == 0
-    # all mass on screen (splats centred well inside the viewport; the
-    # footprint truncation must not lose the wings' mass)
-    assert im[:, :, 0].sum() * pixel_area() == pytest.approx(n * 1.0, rel=0.03)
     ref = render_scatter(ps, vals, make_matrix())
+    # mass parity with the exact-giant scatter path (full-support giants
+    # lose their off-screen wings, so the total is below n where supports
+    # cross the viewport — identically in both engines)
+    assert im[:, :, 0].sum() == pytest.approx(ref[:, :, 0].sum(), rel=0.03)
     corr = np.corrcoef(im[:, :, 0].ravel(), ref[:, :, 0].ravel())[0, 1]
     assert corr > 0.995
 

@@ -194,13 +194,16 @@ def test_columns_fields_matches_legacy(presorted, width):
     matrix = _matrix(10.0)
     pg = layout.pad_group
 
+    from topsy_tpu.ops.splat_giant import BUCKET_DISABLED
     im_leg, d0 = _render_block_columns(
         jnp.asarray(ps_p), jnp.asarray(vals_p), jnp.asarray(layout.buckets),
         None, None, matrix, jnp.float32(SCALE), jnp.int32(128),
+        jnp.int32(BUCKET_DISABLED),
         resolution=RES, width=width, depth_channel=False, pad_group=pg)
     im_f, d1 = _render_block_columns_fields(
         fields, values_cm, group_buckets, None, matrix, jnp.float32(SCALE),
-        jnp.int32(128), resolution=RES, width=width, depth_channel=False,
+        jnp.int32(128), jnp.int32(BUCKET_DISABLED),
+        resolution=RES, width=width, depth_channel=False,
         pad_group=pg)
     assert int(d0) == 0
     assert int(d1) == 0

@@ -124,8 +124,31 @@ def fit_to_window(square: jnp.ndarray, width: int, height: int) -> jnp.ndarray:
 # class family
 # ---------------------------------------------------------------------------
 
+#: Every concrete colormap class, in definition order.  Populated by
+#: ``ColormapBase.__init_subclass__`` at class-creation time, so importing a
+#: module that defines a colormap (e.g. color.surface) is what makes it
+#: available to :func:`resolve_colormap_class` — no tree walking.
+COLORMAP_REGISTRY: list[type["ColormapBase"]] = []
+
+
+def resolve_colormap_class(parameters: dict) -> type["ColormapBase"] | None:
+    """The registered class whose parameter domain contains ``parameters``.
+
+    Domains (the ``accepts_parameters`` predicates) are disjoint by
+    construction — each keys on a distinct ``type`` tag, with the rgb/hdr
+    pair split on ``hdr`` — so at most one class matches."""
+    for cls in COLORMAP_REGISTRY:
+        if cls.accepts_parameters(parameters):
+            return cls
+    return None
+
+
 class ColormapBase:
     _default_params: dict = {}
+
+    def __init_subclass__(cls, **kwargs):
+        super().__init_subclass__(**kwargs)
+        COLORMAP_REGISTRY.append(cls)
 
     def __init__(self, params: dict):
         self._params = self._default_params | params

@@ -110,6 +110,16 @@ class AbstractDataLoader(ABC):
     def get_filename(self) -> str:
         return "data"
 
+    def device_arrays(self) -> dict | None:
+        """Optional device-resident snapshot for loaders that generate (or
+        already hold) their data on the accelerator: ``{'pos_smooth':
+        (n, 4) jax.Array, 'mass': (n,) jax.Array, 'quantities': {name:
+        (n,) jax.Array}}``.  When non-None the ParticleStore adopts these
+        arrays directly and never calls the host getters on the hot path —
+        nothing crosses the host->device link.  Default None = host numpy
+        path."""
+        return None
+
 
 class TestDataLoader(AbstractDataLoader):
     """Seeded synthetic data: 3-component Gaussian mixture with analytic
@@ -263,6 +273,72 @@ def test_data_device(n: int, seed: int = 1337):
         return jnp.concatenate([pos, smooth[:, None]], axis=1), mass, qty
 
     return _gen(jax.random.PRNGKey(seed))
+
+
+class TestDataDeviceLoader(AbstractDataLoader):
+    """TestDataLoader's synthetic snapshot, generated and kept ON DEVICE.
+
+    The same GMM distribution / smoothing / test quantity as TestDataLoader
+    (via :func:`test_data_device`) exposed through the standard loader
+    contract, plus :meth:`device_arrays` so the ParticleStore adopts the
+    jax arrays directly — the full Visualizer product path runs without a
+    single snapshot byte crossing the host->device link.  This is the
+    loader the headline benchmark drives (bench.py); large-n only (see
+    test_data_device).  The host getters materialize on demand (device
+    readback) and exist for contract completeness only.
+    """
+
+    __test__ = False
+
+    def __init__(self, n_particles: int, seed: int = 1337):
+        self._n_particles = int(n_particles)
+        ps, mass, qty = test_data_device(self._n_particles, seed=seed)
+        self._dev = {"pos_smooth": ps, "mass": mass,
+                     "quantities": {"test-quantity": qty}}
+
+    def device_arrays(self) -> dict:
+        return self._dev
+
+    def __len__(self):
+        return self._n_particles
+
+    def get_positions(self):
+        return np.asarray(self._dev["pos_smooth"][:, :3])
+
+    def get_smooth(self):
+        return np.asarray(self._dev["pos_smooth"][:, 3])
+
+    def get_mass(self):
+        return np.asarray(self._dev["mass"])
+
+    def get_named_quantity(self, name):
+        if name == "test-quantity":
+            return np.asarray(self._dev["quantities"]["test-quantity"])
+        raise KeyError("Unknown quantity name")
+
+    def get_quantity_names(self):
+        return ["test-quantity"]
+
+    def get_quantity_label(self, quantity_name):
+        if quantity_name is None:
+            return r"test density / $M_{\odot} / \mathrm{kpc}^2$"
+        if quantity_name == "test-quantity":
+            return "test quantity"
+        return "unknown"
+
+    def get_position_units(self):
+        return "kpc"
+
+    def get_rgb_masses(self):
+        import jax.numpy as jnp
+        p = self._dev["pos_smooth"]
+        return np.asarray(jnp.stack([jnp.abs(jnp.sin(p[:, 0] / 10.0)),
+                                     jnp.abs(jnp.cos(p[:, 1] / 10.0)),
+                                     jnp.abs(jnp.cos(p[:, 2] / 10.0))],
+                                    axis=1))
+
+    def get_filename(self):
+        return "test data (device)"
 
 
 class ArrayDataLoader(AbstractDataLoader):

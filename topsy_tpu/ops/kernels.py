@@ -150,6 +150,55 @@ def lowrank_kernel(rank: int = config.SPLAT_KERNEL_RANK,
                          rank=rank, degree=degree)
 
 
+@functools.lru_cache(maxsize=None)
+def lowrank_integral(rank: int = config.SPLAT_KERNEL_RANK,
+                     degree: int = config.SPLAT_POLY_DEGREE,
+                     n: int = 8192) -> float:
+    """2D integral of the low-rank separable kernel over its support.
+
+    Separability makes it a sum of squared 1-D integrals:
+    ``I = sum_k s_k (int p_k(t^2) dt)^2``.  Giant splats (support wider
+    than any level window, ops/splat_giant.py) are normalized by ``1/I``
+    instead of the discrete norm_table: for the h >= 8 px sizes the giant
+    pass handles, the discrete pixel sum differs from the continuous
+    integral by < 1e-4 (Euler-Maclaurin, the projected kernel is C^2), so
+    mass conservation matches the truncated paths' table to well inside
+    the reference's own pixel tolerances."""
+    lrk = lowrank_kernel(rank, degree)
+    t = np.linspace(-KERNEL_SUPPORT, KERNEL_SUPPORT, n)
+    profiles = lrk.eval_profiles(t)          # (rank, n)
+    line = np.trapezoid(profiles, t, axis=1)  # (rank,)
+    return float(np.sum(lrk.signs * line**2))
+
+
+@functools.lru_cache(maxsize=None)
+def radial_edge_poly(degree: int = 10) -> np.ndarray:
+    """Edge-factored polynomial fit of the projected kernel radial profile.
+
+    ``k2(q) ~= g(u) * (4 - q^2)^3.5`` with ``u = q^2/2 - 1``: the
+    line-of-sight integral of the M4 spline behaves as (2-q)^3.5 at the
+    support edge, so factoring (4-q^2)^3.5 leaves a smooth positive g that
+    a degree-10 fit reproduces to 4e-4 relative error *everywhere* —
+    including the deep wings where any direct polynomial (or separable
+    product) fit has unbounded relative error.  Used by the exact
+    big-giant subpass (ops/splat_giant.py), whose wings singly dominate
+    image corners.  Returns power-basis coefficients of g (highest first).
+    """
+    qs, ks = radial_table(8192)
+    s = qs**2
+    t = 4.0 - s
+    sel = t > 1e-6
+    g = ks[sel] / t[sel] ** 3.5
+    u = s[sel] / 2.0 - 1.0
+    cheb = np.polynomial.chebyshev.Chebyshev.fit(u, g, degree, domain=[-1, 1])
+    coeffs = np.polynomial.chebyshev.cheb2poly(cheb.coef)[::-1]
+    fit = np.polyval(coeffs, s / 2.0 - 1.0) * t**3.5
+    band = ks > ks.max() * 1e-7
+    err = np.abs(fit[band] / ks[band] - 1.0).max()
+    assert err < 2e-3, f"radial edge fit error too large: {err}"
+    return coeffs.astype(np.float64)
+
+
 def _window_offsets(c: float, window: int) -> np.ndarray:
     """Pixel-centre offsets (relative to splat centre c) of the length-
     ``window`` window anchored at floor(c) - window//2 + 1."""

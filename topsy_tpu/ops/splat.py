@@ -228,7 +228,18 @@ def splat_coefficients(pos_smooth, values, matrix, resolution, scale,
     if extra_mask is not None:
         w = jnp.where(extra_mask, w, 0.0)
     coef = values * w[:, None]
-    return dict(level=lev, cx=cx_l, cy=cy_l, h_eff=h_eff, tiny=tiny, coef=coef)
+
+    # giant splats: support wider than the level deposit window — rendered
+    # exactly by the dense full-support pass (ops/splat_giant.py) instead
+    # of truncated.  Selection/exclusion capping is the caller's job.
+    from .splat_giant import GIANT_H, giant_norm
+    h_l = h_px * inv_lev_scale
+    giant = (~tiny) & (h_l > GIANT_H) & (jnp.abs(w) > 0.0)
+    coef_giant = values * jnp.where(giant, giant_norm(h_px, px_per_world),
+                                    0.0)[:, None]
+    return dict(level=lev, cx=cx_l, cy=cy_l, h_eff=h_eff, tiny=tiny,
+                coef=coef, giant=giant, coef_giant=coef_giant,
+                cx_fine=cx, cy_fine=cy, h_px=h_px)
 
 
 # ---------------------------------------------------------------------------
@@ -304,6 +315,16 @@ def splat_scatter(pos_smooth, values, matrix, resolution, scale,
     lev, cx, cy, h_eff, coef = (parts["level"], parts["cx"], parts["cy"],
                                 parts["h_eff"], parts["coef"])
 
+    # giants: exclude from the windowed deposit, render exactly via the
+    # dense full-support pass (ops/splat_giant.py)
+    from . import splat_giant
+    gidx, gvalid, excluded = splat_giant.select_giants_topk(
+        parts["giant"], parts["h_px"], splat_giant.CAP)
+    coef = jnp.where(excluded[:, None], 0.0, coef)
+    giant_im = splat_giant.giant_image(
+        parts["cy_fine"][gidx], parts["cx_fine"][gidx], parts["h_px"][gidx],
+        parts["coef_giant"][gidx] * gvalid[:, None], resolution)
+
     pad = pyramid.pad
     res_l = jnp.asarray(pyramid.level_resolutions)[lev]
     sizes = jnp.asarray(pyramid.padded_sizes)[lev]
@@ -339,7 +360,7 @@ def splat_scatter(pos_smooth, values, matrix, resolution, scale,
     updates = w[..., None] * coef[:, None, None, :]        # (N, W, W, C)
     buf = jnp.zeros((pyramid.flat_size, C), dtype=jnp.float32)
     buf = buf.at[flat_idx.reshape(-1)].add(updates.reshape(-1, C))
-    return collapse_pyramid(buf, pyramid)
+    return collapse_pyramid(buf, pyramid) + giant_im
 
 
 def collapse_pyramid(flat_buffer: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
@@ -355,9 +376,9 @@ def collapse_pyramid(flat_buffer: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndar
 
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_linear
+        from .composite import upsample2x_catmull
         target = pyramid.level_resolutions[l]
-        up = upsample2x_linear(out)[:target, :target]
+        up = upsample2x_catmull(out)[:target, :target]
         out = levels[l] + up
     return out
 

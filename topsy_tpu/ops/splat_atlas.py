@@ -94,7 +94,8 @@ def make_group_contribution(lrk, C: int):
 def splat_atlas(pos_smooth, values, matrix, resolution, scale,
                 extra_mask=None, pyramid: PyramidSpec | None = None,
                 depth_channel=False, engine: str | None = None,
-                presorted_buckets=None, _stop_after: str | None = None):
+                presorted_buckets=None, giants="auto",
+                _stop_after: str | None = None):
     """Matmul-based splatter; same contract as splat.splat_scatter.
 
     ``engine``: 'pallas' (fused TPU kernel), 'scan' (pure-XLA fallback), or
@@ -143,6 +144,31 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
     row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
     res_per_level = jnp.asarray(pyramid.level_resolutions, dtype=jnp.float32)
     row_offs_arr = jnp.asarray(row_offs, dtype=jnp.float32)
+
+    # giants: exclude from the windowed deposit; their exact full-support
+    # image comes from the dense pass (ops/splat_giant.py).  Three modes:
+    # 'auto' selects + renders internally via top_k (correct anywhere, one
+    # top_k per call); an integer/traced *bucket threshold* excludes giants
+    # whose smoothing bucket >= it and renders NOTHING here — the caller
+    # owns one dense layer per frame over the layout's static candidate
+    # pool (render/sph._giant_layer; buckets travel with the data, so the
+    # same threshold is valid through column slices, mip tiers and mesh
+    # slabs); 'none' keeps the truncated deposit (A/B tests).
+    from . import splat_giant
+    giant_args = None
+    if giants == "auto":
+        gidx, gvalid, excluded = splat_giant.select_giants_topk(
+            parts["giant"], parts["h_px"], splat_giant.CAP)
+        giant_args = (parts["cy_fine"][gidx], parts["cx_fine"][gidx],
+                      parts["h_px"][gidx],
+                      parts["coef_giant"][gidx] * gvalid[:, None])
+        parts["coef"] = jnp.where(excluded[:, None], 0.0, parts["coef"])
+    elif giants != "none":
+        assert presorted_buckets is not None, \
+            "bucket-threshold giant exclusion needs presorted_buckets"
+        excluded = (parts["giant"]
+                    & (presorted_buckets >= jnp.asarray(giants, jnp.int32)))
+        parts["coef"] = jnp.where(excluded[:, None], 0.0, parts["coef"])
 
     lev = parts["level"]
     res_l = res_per_level[lev]
@@ -323,7 +349,10 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
     if _stop_after == "spill":
         return atlas, dropped
-    return collapse_atlas(atlas, pyramid), dropped
+    image = collapse_atlas(atlas, pyramid)
+    if giant_args is not None:
+        image = image + splat_giant.giant_image(*giant_args, resolution)
+    return image, dropped
 
 
 def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
@@ -533,7 +562,7 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
                        group_buckets, mask=None,
                        pyramid: PyramidSpec | None = None,
                        depth_channel=False, piece=None, prange=None,
-                       engine: str | None = None):
+                       engine: str | None = None, giants="auto"):
     """The fastest presorted splat path: fused Pallas front-end + kernel.
 
     Same image contract as ``splat_atlas(..., presorted_buckets=...)`` but
@@ -554,6 +583,10 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
     and a SUBGROUPS multiple;
     prange: optional (start, count) restricting active particles to global
     slots [start, start+count) (partial EXPORT chunks).
+    giants: 'auto' (internal exact selection — engine cross-check tests),
+    'none' (truncated deposit), or a smoothing-bucket threshold: giants in
+    buckets >= it are excluded from the windowed deposit and the caller
+    adds one dense full-support layer per frame (render/sph._giant_layer).
 
     Returns (image (res, res, C), spilled_dropped count).
     """
@@ -601,9 +634,55 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
     else:
         start, count = prange
         ranged = True
+
+    # giants: same three modes as splat_atlas.  A threshold (global slot
+    # index) feeds the in-kernel gate via sp_i[3]; the dense layer is the
+    # caller's, rendered once per frame (render/sph._giant_layer).  'auto'
+    # (engine cross-check tests) reconstructs the flat per-particle view
+    # and replicates the flat path's top_k selection bit-for-bit, folding
+    # the exclusion into the cull-mask operand.
+    from . import splat_giant
+    giant_args = None
+    if giants == "auto":
+        from .splat import splat_coefficients
+        ps_flat = jnp.stack([f.reshape(-1) for f in fields], axis=1)
+        vals_flat = jnp.stack([v.reshape(-1) for v in values_cm], axis=1)
+        lev_flat = jnp.broadcast_to(lev[:, None],
+                                    (n_groups, G)).reshape(-1)
+        emask = (mask > 0.0).reshape(-1) if mask is not None else None
+        # replicate the kernel's piece/prange gating so a piece loop
+        # deposits each giant exactly once
+        slot_ids = jnp.arange(n_groups * G, dtype=jnp.int32)
+        gate = None
+        if piece is not None:
+            gids = slot_ids // G
+            gate = (gids >= g0) & (gids < g0 + piece_groups)
+        if prange is not None:
+            pr = (slot_ids >= start) & (slot_ids < start + count)
+            gate = pr if gate is None else gate & pr
+        if gate is not None:
+            emask = gate if emask is None else emask & gate
+        parts = splat_coefficients(ps_flat, vals_flat, matrix, resolution,
+                                   scale, pyramid, emask, mode="lowrank",
+                                   depth_channel=depth_channel,
+                                   level_override=lev_flat)
+        gidx, gvalid, excluded = splat_giant.select_giants_topk(
+            parts["giant"], parts["h_px"], splat_giant.CAP)
+        giant_args = (parts["cy_fine"][gidx], parts["cx_fine"][gidx],
+                      parts["h_px"][gidx],
+                      parts["coef_giant"][gidx] * gvalid[:, None])
+        keep = jnp.where(excluded, 0.0, 1.0).reshape(n_groups, G)
+        mask = keep if mask is None else mask * keep
+        # the mask carries the exclusion; disable the in-kernel bucket gate
+        bucket_thresh = jnp.int32(splat_giant.BUCKET_DISABLED)
+    elif giants == "none":
+        bucket_thresh = jnp.int32(splat_giant.BUCKET_DISABLED)
+    else:
+        bucket_thresh = jnp.asarray(giants, jnp.int32)
     sp_i = jnp.stack([jnp.asarray(g0, jnp.int32),
                       jnp.asarray(start, jnp.int32),
-                      jnp.asarray(count, jnp.int32), jnp.int32(0)])
+                      jnp.asarray(count, jnp.int32),
+                      bucket_thresh])
 
     (ay, ax, ih, cfit, cspill, w0, c0, ce, flags,
      nspill) = splat_feed.splat_feed_pallas(
@@ -633,7 +712,10 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
         spilled, nspill, nspill.sum(), C=C, G=G, engine=engine,
         atlas_rows=atlas_rows, atlas_cols=atlas_cols,
         window_rows=window_rows)
-    return collapse_atlas(atlas, pyramid), dropped
+    image = collapse_atlas(atlas, pyramid)
+    if giant_args is not None:
+        image = image + splat_giant.giant_image(*giant_args, resolution)
+    return image, dropped
 
 
 def slice_column_fields(fields, values_cm, group_buckets, mask, col0,
@@ -694,8 +776,8 @@ def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
         levels.append(atlas[:, r0:r0 + res_l, COL_PAD:COL_PAD + res_l])
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_linear_cm
+        from .composite import upsample2x_catmull_cm
         target = pyramid.level_resolutions[l]
-        up = upsample2x_linear_cm(out)[:, :target, :target]
+        up = upsample2x_catmull_cm(out)[:, :target, :target]
         out = levels[l] + up
     return out.transpose(1, 2, 0)

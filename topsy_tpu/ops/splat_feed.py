@@ -101,6 +101,18 @@ def _feed_kernel_body(sp_i, sp_f, pergroup, x, y, z, h, vals, mask,
     w = c_norm / (h_eff_world * h_eff_world)
     w = jnp.where(visible, w, 0.0)
 
+    # giants (support wider than the deposit window, h_l > foot/SUPPORT)
+    # whose smoothing bucket >= sp_i[3] are excluded here and rendered
+    # exactly by the caller's dense full-support pass over the layout's
+    # static candidate pool (ops/splat_giant.py; render/sph._giant_layer).
+    # The bucket criterion survives column slicing and mesh slabbing
+    # unchanged; sp_i[3] = BUCKET_DISABLED turns the gate off (giants keep
+    # the mass-conserving truncated deposit).
+    bucket = pergroup[:, 0:1]
+    giant = ((~tiny) & (h_l > foot / kernels.KERNEL_SUPPORT)
+             & (bucket >= sp_i[3].astype(jnp.float32)))
+    w = jnp.where(giant, 0.0, w)
+
     margin = col_pad - foot + 4.0
     cyc = jnp.clip(cy_l, -margin, res_l + margin)
     cxc = jnp.clip(cx_l, -margin, res_l + margin)

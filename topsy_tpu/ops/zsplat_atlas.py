@@ -32,11 +32,17 @@ GROUP = 512
 
 def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
                  presorted_buckets, density_cut=0.0, extra_mask=None,
-                 pyramid: PyramidSpec | None = None):
+                 pyramid: PyramidSpec | None = None, giants="none"):
     """(N,4) x (N,>=2 [mass, qty]) -> ((res, res, 2) [value, depth], dropped).
 
     Same output contract as zsplat.zsplat_scatter; ``presorted_buckets``
     is required (arrays in ops/morton.py order).  Background depth is 0.
+
+    ``giants``: 'none' keeps the truncated/squeezed windowed hemisphere for
+    over-window splats (the zsplat_scatter-compatible legacy behavior), or
+    a smoothing-bucket threshold — those splats are dropped here and the
+    caller max-composites the exact dense layer
+    (ops/splat_giant.zsplat_giant_image) instead.
     """
     if pyramid is None:
         pyramid = default_pyramid(resolution)
@@ -70,6 +76,11 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
     ok = visible & (rho > density_cut)
     if extra_mask is not None:
         ok = ok & extra_mask
+    if giants != "none":
+        from .splat_giant import GIANT_H
+        h_l = h_px * inv_lev_scale
+        ok = ok & ~((h_l > GIANT_H)
+                    & (presorted_buckets >= jnp.asarray(giants, jnp.int32)))
     h_clip_half = h_world / scale * 0.5
 
     res_l = res_per_level[lev]

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..ops import splat_atlas
+from ..ops import splat_atlas, splat_giant
 
 
 
@@ -470,22 +470,28 @@ class DistributedSplatter:
             if has_mask:
                 mask = args[k][0]
                 k += 1
-            matrix, scale, g0 = args[k:k + 3]
+            matrix, scale, g0, gb_thresh = args[k:k + 4]
+            # giant exclusion by smoothing bucket, identical to the
+            # single-chip fields path (render/sph._render_block_fields):
+            # buckets travel with the slab data, so the same threshold is
+            # valid on every shard; the caller owns the dense layer
             im, dropped = splat_atlas.splat_atlas_fields(
                 fields, vals, matrix, resolution, scale, gb, mask=mask,
                 depth_channel=depth_channel,
-                piece=None if whole else (g0, piece_g))
+                piece=None if whole else (g0, piece_g),
+                giants=gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
-            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 3),
+            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 4),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
 
-    def _render_presorted_fields(self, matrix, scale, cell_mask):
+    def _render_presorted_fields(self, matrix, scale, cell_mask,
+                                 giant_bucket=None):
         from .. import config
         ps = self._presorted_fields()
         ln = ps["local_n"]
@@ -496,6 +502,8 @@ class DistributedSplatter:
         base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
         if mask is not None:
             base = base + (mask,)
+        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
+                              if giant_bucket is None else giant_bucket)
         total = None
         dropped = jnp.int32(0)
         for g0 in range(0, ngl, piece_g):
@@ -507,7 +515,7 @@ class DistributedSplatter:
                 step = self._presorted_steps[key] = \
                     self._build_presorted_step_fields(pg, whole, mask is not None)
             im, d = step(*base, jnp.asarray(matrix, jnp.float32),
-                         jnp.float32(scale), jnp.int32(g0))
+                         jnp.float32(scale), jnp.int32(g0), gb_thresh)
             total = im if total is None else total + im
             dropped = dropped + d
         return total, dropped
@@ -527,24 +535,27 @@ class DistributedSplatter:
             if has_mask:
                 mask = args[k][0]
                 k += 1
-            matrix, scale, col0 = args[k:k + 3]
+            matrix, scale, col0, gb_thresh = args[k:k + 4]
             sliced, svals, sgb, smask = splat_atlas.slice_column_fields(
                 fields, vals, gb, mask, col0, width)
+            # bucket-threshold giant exclusion as in the single-chip column
+            # path (render/sph._render_block_columns_fields); the render
+            # loop's dense layer (_prepare_giants) covers the exact giants
             im, dropped = splat_atlas.splat_atlas_fields(
                 sliced, svals, matrix, resolution, scale, sgb, mask=smask,
-                depth_channel=depth_channel)
+                depth_channel=depth_channel, giants=gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
-            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 3),
+            in_specs=tuple([P(self.axis)] * n_sharded + [P()] * 4),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
 
     def _render_columns_fields(self, matrix, scale, col0: int, ncols: int,
-                               cell_mask, ps=None):
+                               cell_mask, ps=None, giant_bucket=None):
         from ..ops.morton import slice_widths
         ps = self._presorted_fields(ps)
         layout = ps["layout"]
@@ -580,7 +591,7 @@ class DistributedSplatter:
         C = int(self.values.shape[-1])
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
-                         start, count):
+                         start, count, gb_thresh):
             pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
             sl = jnp.clip(start, 0, local_n - bucket)
             p = jax.lax.dynamic_slice(pos, (sl, 0), (bucket, 4))
@@ -591,13 +602,14 @@ class DistributedSplatter:
             mask = (idx >= start) & (idx < start + count) & cell_table[cid]
             im, dropped = splat_atlas.splat_atlas(
                 p, v, matrix, resolution, scale, extra_mask=mask,
-                depth_channel=depth_channel, presorted_buckets=b)
+                depth_channel=depth_channel, presorted_buckets=b,
+                giants=gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
-                      P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
@@ -626,7 +638,7 @@ class DistributedSplatter:
         C = int(self.values.shape[-1])
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
-                         col0):
+                         col0, gb_thresh):
             pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
             ngr = pos.shape[0] // pad_group
             c0 = jnp.clip(col0, 0, pad_group - width)
@@ -645,15 +657,19 @@ class DistributedSplatter:
                 p, v, b, cid = (slice_cols(pos), slice_cols(vals),
                                 slice_cols(buckets), slice_cols(ids))
             mask = cell_table[cid]
+            # bucket-threshold giant exclusion as in the single-chip
+            # column path (render/sph._render_block_columns); the render
+            # loop's dense layer (_prepare_giants) covers the exact giants
             im, dropped = splat_atlas.splat_atlas(
                 p, v, matrix, resolution, scale, extra_mask=mask,
-                depth_channel=depth_channel, presorted_buckets=b)
+                depth_channel=depth_channel, presorted_buckets=b,
+                giants=gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
-                      P(), P(), P(), P()),
+                      P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
@@ -675,7 +691,7 @@ class DistributedSplatter:
         resolution = self.resolution
 
         def local_render(pos, vals, buckets, ids, cell_table, matrix, scale,
-                         cut, col0):
+                         cut, col0, gb_thresh):
             pos, vals, buckets, ids = pos[0], vals[0], buckets[0], ids[0]
             ngr = pos.shape[0] // pad_group
             c0 = jnp.clip(col0, 0, pad_group - width)
@@ -694,9 +710,13 @@ class DistributedSplatter:
                 p, v, b, cid = (slice_cols(pos), slice_cols(vals),
                                 slice_cols(buckets), slice_cols(ids))
             mask = cell_table[cid]
+            # giants excluded by bucket threshold; the render loop's dense
+            # hemisphere layer (surface._prepare_surface_giants) is
+            # max-composited in by the caller — same contract as the
+            # single-chip surface column path
             im, dropped = zsplat_atlas.zsplat_atlas(
                 p, v, matrix, resolution, scale, b, density_cut=cut,
-                extra_mask=mask)
+                extra_mask=mask, giants=gb_thresh)
             depth = im[..., -1]
             dmax = jax.lax.pmax(depth, axis)
             payload = jnp.where((depth == dmax)[..., None], im[..., :-1],
@@ -708,13 +728,14 @@ class DistributedSplatter:
         shard_fn = jax.shard_map(
             local_render, mesh=self.mesh,
             in_specs=(P(self.axis), P(self.axis), P(self.axis), P(self.axis),
-                      P(), P(), P(), P(), P()),
+                      P(), P(), P(), P(), P(), P()),
             out_specs=(P(), P()),
             check_vma=False)
         return jax.jit(shard_fn)
 
     def render_columns_surface(self, matrix, scale, density_cut, col0: int,
-                               ncols: int, cell_mask=None, tier=None):
+                               ncols: int, cell_mask=None, tier=None,
+                               giant_bucket=None):
         """Front-most surface render of columns [col0, col0+ncols) across
         the mesh; returns (image (res, res, C), dropped).  Pieces combine
         host-side with the same strictly-greater depth compare as the
@@ -728,6 +749,8 @@ class DistributedSplatter:
         steps = getattr(self, "_column_surface_steps", None)
         if steps is None:
             steps = self._column_surface_steps = {}
+        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
+                              if giant_bucket is None else giant_bucket)
         total = None
         dropped = jnp.int32(0)
         off = 0
@@ -742,7 +765,7 @@ class DistributedSplatter:
                              ps["cell_ids"], table,
                              jnp.asarray(matrix, jnp.float32),
                              jnp.float32(scale), jnp.float32(density_cut),
-                             jnp.int32(col0 + off))
+                             jnp.int32(col0 + off), gb_thresh)
                 if total is None:
                     total = im
                 else:
@@ -755,19 +778,25 @@ class DistributedSplatter:
         return total, dropped
 
     def render_columns(self, matrix, scale, col0: int, ncols: int,
-                       cell_mask=None, tier=None):
+                       cell_mask=None, tier=None, giant_bucket=None):
         """Render whole columns [col0, col0+ncols) across the mesh,
         decomposed into power-of-two slice widths; returns (image, dropped).
         ``tier`` selects a decimation-mip tier's slabs (deepest first;
-        None = main layout)."""
+        None = main layout).  ``giant_bucket``: smoothing-bucket threshold
+        excluding giants from the windowed deposit (the renderer adds one
+        dense exact layer per frame, render/sph._prepare_giants); None
+        disables the exclusion."""
         from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._tier(tier)
         if self._use_feed():
             return self._render_columns_fields(matrix, scale, col0, ncols,
-                                               cell_mask, ps)
+                                               cell_mask, ps,
+                                               giant_bucket=giant_bucket)
         layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
+                              if giant_bucket is None else giant_bucket)
         total = None
         dropped = jnp.int32(0)
         off = 0
@@ -780,7 +809,8 @@ class DistributedSplatter:
                 im, d = step(ps["pos"], ps["values"], ps["buckets"],
                              ps["cell_ids"], table,
                              jnp.asarray(matrix, jnp.float32),
-                             jnp.float32(scale), jnp.int32(col0 + off))
+                             jnp.float32(scale), jnp.int32(col0 + off),
+                             gb_thresh)
                 total = im if total is None else total + im
                 dropped = dropped + d
                 off += width
@@ -788,16 +818,20 @@ class DistributedSplatter:
             raise AssertionError(f"unrenderable column range {ncols}")
         return total, dropped
 
-    def render_presorted(self, matrix, scale, cell_mask=None):
+    def render_presorted(self, matrix, scale, cell_mask=None,
+                         giant_bucket=None):
         """Full-coverage sort-free render of all particles across the mesh;
-        returns (image, dropped)."""
+        returns (image, dropped).  ``giant_bucket`` as in render_columns."""
         self.ensure_presorted()
         if self._use_feed():
-            return self._render_presorted_fields(matrix, scale, cell_mask)
+            return self._render_presorted_fields(matrix, scale, cell_mask,
+                                                 giant_bucket=giant_bucket)
         ps = self._presorted
         ln = ps["local_n"]
         bucket = local_bucket_size(ln, ln)
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
+        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
+                              if giant_bucket is None else giant_bucket)
         total = None
         dropped = jnp.int32(0)
         for piece in range(0, ln, bucket):
@@ -808,7 +842,8 @@ class DistributedSplatter:
             im, d = step(ps["pos"], ps["values"], ps["buckets"],
                          ps["cell_ids"], table,
                          jnp.asarray(matrix, jnp.float32), jnp.float32(scale),
-                         jnp.int32(piece), jnp.int32(min(bucket, ln - piece)))
+                         jnp.int32(piece), jnp.int32(min(bucket, ln - piece)),
+                         gb_thresh)
             total = im if total is None else total + im
             dropped = dropped + d
         return total, dropped

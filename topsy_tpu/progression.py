@@ -112,11 +112,17 @@ class RenderProgression:
         return ([start], [length])
 
     def _adapt_recommendation(self):
+        if self._reason in (DrawReason.REFINE, DrawReason.EXPORT):
+            # REFINE continues an already-budgeted frame; EXPORT launches
+            # oversized full-coverage blocks whose per-particle throughput
+            # does not predict interactive blocks — and EXPORT frames run
+            # barrier-free (throughput mode, render/sph.py), so their
+            # elapsed time is enqueue time, not device time.  Neither may
+            # steer the interactive LOD budget.
+            return
         achievable = int(self._rendered_in_frame
                          / max(self._time_in_frame * config.TARGET_FPS, 1e-9))
         achievable = max(1, min(achievable, self._total))
-        if self._reason == DrawReason.REFINE:
-            return
         log2_change = abs(math.log2(achievable) - math.log2(self._recommended))
         if log2_change > 1.5:
             # way off: jump straight to the achievable number

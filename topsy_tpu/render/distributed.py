@@ -106,17 +106,21 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
         splatter = self._get_splatter()
         mask = self._render_progression.get_selected_cell_mask()
         with self._render_timer:
+            # the base render loop prepared the per-frame dense giant layer
+            # (_prepare_giants); exclude those giants from every shard's
+            # windowed deposit by the same bucket threshold
             im, dropped = splatter.render_columns(
                 np.asarray(matrix), float(scale), col0, ncols,
-                cell_mask=mask, tier=self._column_tier())
+                cell_mask=mask, tier=self._column_tier(),
+                giant_bucket=self._giant_bucket)
             self._dropped_splats = dropped
             if first_block:
                 self._image = im
                 first_block = False
             else:
                 self._image = self._image + im
-            if sync_blocks:
-                jax.block_until_ready(self._image)
+        if sync_blocks:
+            self._render_timer.sync(self._image)
         return first_block
 
     def _use_presorted(self) -> bool:
@@ -134,12 +138,18 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
     def _render_presorted(self, matrix, scale, first_block: bool):
         splatter = self._get_splatter()
         mask = self._render_progression.get_selected_cell_mask()
+        # same contract as the single-chip _render_presorted: plan the
+        # frame's giant set, render the dense exact layer once (folded in
+        # by get_output_image), exclude those giants from the slab deposits
+        self._prepare_giants(matrix, scale, keep=False)
         with self._render_timer:
             im, dropped = splatter.render_presorted(
-                np.asarray(matrix), float(scale), cell_mask=mask)
+                np.asarray(matrix), float(scale), cell_mask=mask,
+                giant_bucket=self._giant_bucket)
             self._dropped_splats = dropped
             self._image = im if first_block else self._image + im
-            jax.block_until_ready(self._image)
+        # no end-of-frame barrier: EXPORT runs in throughput mode (see
+        # SPHRenderer._finish_frame) — callers barrier on the readback
 
     def _launch_block(self, matrix, scale, start: int, count: int,
                       bucket: int):
@@ -203,9 +213,12 @@ class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
         splatter = self._get_splatter()
         mask = self._render_progression.get_selected_cell_mask()
         with self._render_timer:
+            # exclude the prepared giants (dense hemisphere layer is
+            # max-composited in by the base surface render loop)
             im, dropped = splatter.render_columns_surface(
                 np.asarray(matrix), float(scale), float(cut), col0, ncols,
-                cell_mask=mask, tier=self._column_tier())
+                cell_mask=mask, tier=self._column_tier(),
+                giant_bucket=self._giant_bucket)
             self._dropped_splats = dropped
             if first_block:
                 self._image = im
@@ -213,8 +226,8 @@ class DistributedSurfaceSPHRenderer(MeshSplatterMixin, SurfaceSPHRenderer):
             else:
                 from .surface import _max_composite
                 self._image = _max_composite(self._image, im)
-            if sync_blocks:
-                jax.block_until_ready(self._image)
+        if sync_blocks:
+            self._render_timer.sync(self._image)
         return first_block
 
 

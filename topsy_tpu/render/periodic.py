@@ -52,7 +52,10 @@ class PeriodicSPHRenderer(SPHRenderer):
         # clip x -> +cols, clip y -> -rows
         offsets_px = np.stack([-offsets_clip[:, 1] * res / 2.0,
                                offsets_clip[:, 0] * res / 2.0], axis=1)
-        self._display_image = lattice_composite(self._image,
+        # the base panel includes the dense giant layer (scalefactor
+        # pre-divided, SPHRenderer.get_output_image) so giant wings tile
+        # over the lattice like every other deposit
+        self._display_image = lattice_composite(SPHRenderer.get_output_image(self),
                                                 offsets_px.astype(np.float32),
                                                 weights)
 

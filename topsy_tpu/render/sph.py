@@ -70,11 +70,15 @@ def _render_block(pos_smooth, values, cell_ids, cell_table, matrix, scale,
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "bucket", "depth_channel"))
 def _render_block_presorted(pos_smooth, values, buckets, cell_ids, cell_table,
-                            matrix, scale, start, count, *, resolution,
-                            bucket, depth_channel):
+                            matrix, scale, start, count, giant_bucket, *,
+                            resolution, bucket, depth_channel):
     """Render one piece of the presorted arrays — no per-frame sort
     (ops/morton.py): the stored (smoothing-bucket, Morton) order is already
-    group-local and single-level per run."""
+    group-local and single-level per run.
+
+    ``giant_bucket``: smoothing-bucket threshold — giants in buckets >= it
+    are excluded from the windowed deposit; the render loop holds one
+    exact dense layer per frame over those candidates (_prepare_giants)."""
     n_pad = pos_smooth.shape[0]
     sl = jnp.clip(start, 0, n_pad - bucket)
     ps = jax.lax.dynamic_slice(pos_smooth, (sl, 0), (bucket, 4))
@@ -86,15 +90,16 @@ def _render_block_presorted(pos_smooth, values, buckets, cell_ids, cell_table,
     return splat_atlas.splat_atlas(ps, vals, matrix, resolution, scale,
                                    extra_mask=mask,
                                    depth_channel=depth_channel,
-                                   presorted_buckets=bks)
+                                   presorted_buckets=bks,
+                                   giants=giant_bucket)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "width", "depth_channel",
                                     "pad_group"))
 def _render_block_columns(pos_smooth, values, buckets, cell_ids, cell_table,
-                          matrix, scale, col0, *, resolution, width,
-                          depth_channel, pad_group):
+                          matrix, scale, col0, giant_bucket, *, resolution,
+                          width, depth_channel, pad_group):
     """Render columns [col0, col0+width) of the presorted (groups x
     pad_group) matrix — the sort-free interactive LOD path.
 
@@ -134,15 +139,17 @@ def _render_block_columns(pos_smooth, values, buckets, cell_ids, cell_table,
                                    slice_cols(values), matrix, resolution,
                                    scale, extra_mask=mask,
                                    depth_channel=depth_channel,
-                                   presorted_buckets=slice_cols(buckets))
+                                   presorted_buckets=slice_cols(buckets),
+                                   giants=giant_bucket)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "width", "depth_channel",
                                     "pad_group"))
 def _render_block_columns_fields(fields, values_cm, group_buckets, mask,
-                                 matrix, scale, col0, *, resolution, width,
-                                 depth_channel, pad_group):
+                                 matrix, scale, col0, giant_bucket, *,
+                                 resolution, width, depth_channel,
+                                 pad_group):
     """Column slice [col0, col0+width) through the fused feed kernel — the
     sort-free interactive LOD path with the one-pass front-end.
 
@@ -154,23 +161,53 @@ def _render_block_columns_fields(fields, values_cm, group_buckets, mask,
         fields, values_cm, group_buckets, mask, col0, width)
     return splat_atlas.splat_atlas_fields(
         sliced, vals, matrix, resolution, scale, gb, mask=msk,
-        depth_channel=depth_channel)
+        depth_channel=depth_channel, giants=giant_bucket)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("resolution", "piece_groups", "whole",
                                     "depth_channel"))
 def _render_block_fields(fields, values_cm, group_buckets, mask, matrix,
-                         scale, g0, *, resolution, piece_groups, whole,
-                         depth_channel):
+                         scale, g0, giant_start, *, resolution, piece_groups,
+                         whole, depth_channel):
     """Render groups [g0, g0+piece_groups) through the fused feed kernel
     (ops/splat_feed.py) — the fastest EXPORT path: one bandwidth-bound
     front-end pass, no dynamic_slice piece copies, cull mask precomputed
-    per selection change rather than per frame."""
+    per selection change rather than per frame.  ``giant_start`` is the
+    global slot threshold for the in-kernel giant exclusion (the render
+    loop adds the exact dense layer once per frame, _giant_layer)."""
     return splat_atlas.splat_atlas_fields(
         fields, values_cm, matrix, resolution, scale, group_buckets,
         mask=mask, depth_channel=depth_channel,
-        piece=None if whole else (g0, piece_groups))
+        piece=None if whole else (g0, piece_groups),
+        giants=giant_start)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("resolution", "depth_channel"))
+def _render_giant_layer(pos_smooth, values, buckets, cell_ids, cell_table,
+                        matrix, scale, *, resolution, depth_channel):
+    """The per-frame exact dense layer for giant splats.
+
+    Renders the store's static candidate pool (store.giant_candidates —
+    the largest-smoothing real particles) at full support via the
+    separable-matmul pass (ops/splat_giant.giant_image); the windowed
+    EXPORT pieces exclude exactly these particles by slot threshold, so
+    the sum reproduces the reference's untruncated rasterization
+    (reference: shaders/sph.wgsl:54-66, no footprint clamp)."""
+    from ..ops import splat_giant
+    pyramid = splat_atlas.default_pyramid(resolution)
+    px_per_world = resolution / (2.0 * scale)
+    lev = splat.levels_from_buckets(buckets, px_per_world,
+                                    pyramid.num_levels)
+    mask = cell_table[cell_ids]
+    parts = splat.splat_coefficients(pos_smooth, values, matrix, resolution,
+                                     scale, pyramid, mask, mode="lowrank",
+                                     depth_channel=depth_channel,
+                                     level_override=lev)
+    return splat_giant.giant_image(parts["cy_fine"], parts["cx_fine"],
+                                   parts["h_px"], parts["coef_giant"],
+                                   resolution)
 
 
 def default_backend() -> str:
@@ -204,6 +241,8 @@ class SPHRenderer:
         self.last_render_fps = 0.0
 
         self._image = None
+        self._giant_image = None          # exact dense giant layer (unscaled)
+        self._giant_bucket = None         # exclusion bucket threshold
         self._cell_table = store.cell_mask_table(None)
         self._cell_table_generation = None
 
@@ -225,8 +264,18 @@ class SPHRenderer:
         return self._render_progression.needs_refine()
 
     def get_output_image(self):
-        """The raw framebuffer as a device array (unscaled)."""
-        return self._image
+        """The raw framebuffer as a device array, pre-divided so that the
+        downstream photometric mass scale reproduces exact giants.
+
+        The windowed accumulation needs ``* last_render_mass_scale`` for
+        partial LOD coverage; the dense giant layer (_prepare_giants) is
+        always complete, so it is folded in divided by the scalefactor —
+        consumers keep multiplying the whole thing by the scalefactor
+        exactly as before and giants come out exact at any coverage."""
+        if self._giant_image is None:
+            return self._image
+        ms = self.last_render_mass_scale
+        return self._image + self._giant_image * (1.0 / ms if ms > 0 else 1.0)
 
     def get_image(self) -> np.ndarray:
         """Raw SPH map as numpy, photometrically rescaled for partial renders
@@ -237,7 +286,7 @@ class SPHRenderer:
         if not self.has_rendered:
             logger.info("Triggering export-quality render (no render yet)")
             self.render(DrawReason.EXPORT)
-        return np.asarray(self._image)
+        return np.asarray(self.get_output_image())
 
     def get_image_device(self):
         """Raw SPH map as a device array, photometrically rescaled — lets
@@ -312,8 +361,21 @@ class SPHRenderer:
                 # order; geometric culling still applies via the cell table
                 self._render_presorted(matrix, scale, first_block)
                 prog.mark_all_rendered(self._render_timer.total_time_in_frame())
-                self._finish_frame(prog)
+                self._finish_frame(prog, record_timing=False)
                 return
+
+        if columns:
+            # exact giants in interactive LOD too: one dense layer per view
+            # (kept across REFINE continuations), exclusion by bucket in
+            # every column slice — see _prepare_giants / get_output_image
+            self._prepare_giants(matrix, scale,
+                                 keep=(draw_reason == DrawReason.REFINE
+                                       and self._image is not None))
+        elif draw_reason != DrawReason.REFINE:
+            # the sorted block path handles giants inside each block
+            # (splat_atlas giants='auto'), scaled like its other particles
+            self._giant_image = None
+            self._giant_bucket = None
 
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
@@ -337,18 +399,22 @@ class SPHRenderer:
                             first_block = False
                         else:
                             self._image = self._image + im
-                        if sync_blocks:
-                            jax.block_until_ready(self._image)
+                    if sync_blocks:
+                        # barrier so the scheduler's feedback sees real
+                        # device time (util.device_sync — block_until_ready
+                        # is not a reliable barrier on tunneled runtimes)
+                        self._render_timer.sync(self._image)
             prog.end_block(self._render_timer.total_time_in_frame())
 
-        if not sync_blocks and self._image is not None:
-            with self._render_timer:
-                jax.block_until_ready(self._image)
+        self._finish_frame(prog, record_timing=sync_blocks)
 
-        self._finish_frame(prog)
-
-    def _finish_frame(self, prog):
-        self._render_timer.end_frame()
+    def _finish_frame(self, prog, record_timing: bool = True):
+        """Close the frame.  EXPORT frames run barrier-free (throughput
+        mode): callers barrier on the image readback, consecutive movie
+        frames keep the device pipeline full, and their enqueue-only
+        timing is discarded (``record_timing=False``) rather than fed to
+        the fps display or the LOD scheduler."""
+        self._render_timer.end_frame(record=record_timing)
         self.last_render_mass_scale = prog.end_frame_get_scalefactor()
         mean = self._render_timer.running_mean_duration
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
@@ -456,6 +522,7 @@ class SPHRenderer:
                         im, dropped = _render_block_columns_fields(
                             *feed_args, matrix, scale,
                             jnp.int32(col0 + off),
+                            jnp.int32(self._giant_bucket),
                             resolution=self._resolution, width=width,
                             depth_channel=self._depth_channel,
                             pad_group=pad_group)
@@ -465,6 +532,7 @@ class SPHRenderer:
                             self._cell_table if culling else None,
                             matrix, scale,
                             jnp.int32(col0 + off),
+                            jnp.int32(self._giant_bucket),
                             resolution=self._resolution, width=width,
                             depth_channel=self._depth_channel,
                             pad_group=pad_group)
@@ -474,16 +542,47 @@ class SPHRenderer:
                         first_block = False
                     else:
                         self._image = self._image + im
-                    if sync_blocks:
-                        jax.block_until_ready(self._image)
+                if sync_blocks:
+                    self._render_timer.sync(self._image)
                 off += width
         if off != ncols:  # progression emits col_quantum multiples
             raise AssertionError(f"unrenderable column range {ncols}")
         return first_block
 
+    def _prepare_giants(self, matrix, scale, keep: bool):
+        """Per-frame giant planning (ops/splat_giant.giant_plan).
+
+        Sets ``self._giant_bucket`` (the exclusion bucket threshold every
+        windowed presorted call uses this frame) and ``self._giant_image``
+        (the exact dense layer, or None) — a SEPARATE framebuffer: the
+        windowed accumulation gets the LOD mass scalefactor at display
+        time, the giant layer is always complete and must not
+        (get_output_image folds it in pre-divided).  ``keep`` (REFINE
+        continuation) reuses the existing plan — the view is unchanged."""
+        from ..ops import splat_giant
+        if keep and getattr(self, "_giant_bucket", None) is not None:
+            return
+        store = self._store
+        num_levels = splat_atlas.default_pyramid(self._resolution).num_levels
+        size, b_thresh = splat_giant.giant_plan(
+            store.giant_meta(), self._resolution, float(self.scale),
+            num_levels)
+        self._giant_bucket = b_thresh
+        if size == 0:
+            self._giant_image = None
+            return
+        with self._render_timer:
+            cand = store.giant_candidates(size)
+            self._giant_image = _render_giant_layer(
+                cand["pos"], store.giant_values_for(self._buffer_name, size),
+                cand["buckets"], cand["cell_ids"], self._cell_table, matrix,
+                scale, resolution=self._resolution,
+                depth_channel=self._depth_channel)
+
     def _render_presorted(self, matrix, scale, first_block: bool):
         store = self._store
         store.ensure_presorted()
+        self._prepare_giants(matrix, scale, keep=False)
         if self._use_feed():
             self._render_presorted_fields(matrix, scale, first_block)
             return
@@ -497,6 +596,7 @@ class SPHRenderer:
                     store.presorted_buckets, store.cell_ids_presorted,
                     self._cell_table, matrix, scale,
                     jnp.int32(piece), jnp.int32(min(bucket, total - piece)),
+                    jnp.int32(self._giant_bucket),
                     resolution=self._resolution, bucket=bucket,
                     depth_channel=self._depth_channel)
                 self._dropped_splats = dropped
@@ -505,8 +605,6 @@ class SPHRenderer:
                     first_block = False
                 else:
                     self._image = self._image + im
-        with self._render_timer:
-            jax.block_until_ready(self._image)
 
     def _use_feed(self) -> bool:
         """The fused feed-kernel path runs real Pallas only (off-TPU the
@@ -562,7 +660,8 @@ class SPHRenderer:
             with self._render_timer:
                 im, dropped = _render_block_fields(
                     fields, values_cm, gb, mask, matrix, scale,
-                    jnp.int32(g0), resolution=self._resolution,
+                    jnp.int32(g0), jnp.int32(self._giant_bucket),
+                    resolution=self._resolution,
                     piece_groups=pg, whole=(pg == ng),
                     depth_channel=self._depth_channel)
                 self._dropped_splats = dropped
@@ -571,8 +670,6 @@ class SPHRenderer:
                     first_block = False
                 else:
                     self._image = self._image + im
-        with self._render_timer:
-            jax.block_until_ready(self._image)
 
     def _launch_block(self, matrix, scale, start: int, count: int,
                       bucket: int):

@@ -51,14 +51,30 @@ class ParticleStore:
         self._quantity_name: str | None = None
         self.values_version = 0  # bumped whenever channel buffers change
 
-        pos_smooth = data_loader.get_pos_smooth()
-        self.pos_smooth = self._put(self._pad(pos_smooth))
+        dev = data_loader.device_arrays()
+        if dev is not None:
+            # device-resident loader (loaders.AbstractDataLoader
+            # .device_arrays): adopt the arrays in place — no host upload
+            self._dev_quantities = dict(dev.get("quantities", {}))
+            self.pos_smooth = self._pad_dev(
+                jnp.asarray(dev["pos_smooth"], jnp.float32))
+            self._mass = None  # device path: host mass never materialized
+            self._mass_dev = self._pad_dev(
+                jnp.asarray(dev["mass"], jnp.float32))
+            self.mass_and_quantity = jnp.stack(
+                [self._mass_dev, jnp.zeros_like(self._mass_dev)], axis=1)
+        else:
+            self._dev_quantities = None
+            self._mass_dev = None
+            pos_smooth = data_loader.get_pos_smooth()
+            self.pos_smooth = self._put(self._pad(pos_smooth))
 
-        self._mass = data_loader.get_mass().astype(np.float32)
-        # the quantity column is zeros until a quantity is selected — built
-        # on device so only the mass bytes cross the upload path
-        m = self._put(self._pad(self._mass))
-        self.mass_and_quantity = jnp.stack([m, jnp.zeros_like(m)], axis=1)
+            self._mass = data_loader.get_mass().astype(np.float32)
+            # the quantity column is zeros until a quantity is selected —
+            # built on device so only the mass bytes cross the upload path
+            m = self._put(self._pad(self._mass))
+            self.mass_and_quantity = jnp.stack([m, jnp.zeros_like(m)],
+                                               axis=1)
         self._rgb = None
 
         cell_ids = data_loader.get_cell_ids()
@@ -80,6 +96,14 @@ class ParticleStore:
             return arr
         return np.concatenate([arr, np.zeros((pad,) + arr.shape[1:], arr.dtype)])
 
+    def _pad_dev(self, arr):
+        """Zero-pad a device array to n_pad rows without a host round trip."""
+        pad = self.n_pad - arr.shape[0]
+        if pad == 0:
+            return arr
+        return jnp.concatenate(
+            [arr, jnp.zeros((pad,) + arr.shape[1:], arr.dtype)])
+
     def _put(self, arr: np.ndarray):
         return jax.device_put(arr, self._device)
 
@@ -95,7 +119,15 @@ class ParticleStore:
         (reference: particle_buffers.py:93-102)."""
         if name == self._quantity_name:
             return
-        if name is None:
+        if self._mass_dev is not None:
+            m = self._mass_dev
+            if name is None:
+                q = jnp.zeros_like(m)
+            else:
+                q = m * self._pad_dev(jnp.asarray(
+                    self._dev_quantities[name], jnp.float32))
+            self.mass_and_quantity = jnp.stack([m, q], axis=1)
+        elif name is None:
             m = self._put(self._pad(self._mass))
             self.mass_and_quantity = jnp.stack([m, jnp.zeros_like(m)],
                                                axis=1)
@@ -239,6 +271,76 @@ class ParticleStore:
                            for c in range(vals.shape[1]))
             self._presorted_values_cm = {key: cached}
         return cached
+
+    # -- giant-splat candidate pool (static per layout; ops/splat_giant.py) ----
+
+    def giant_meta(self):
+        """Static giant candidate metadata (slots, slot buckets, bucket
+        histogram): the last min(CAP, n_real) real slots of the presorted
+        layout — the largest smoothing buckets (see
+        ops/splat_giant.candidate_slots).  Host numpy, once per layout."""
+        self.ensure_presorted()
+        meta = getattr(self, "_giant_meta", None)
+        if meta is None:
+            from ..ops import splat_giant
+            meta = splat_giant.candidate_slots(self._presorted_layout)
+            self._giant_meta = meta
+        return meta
+
+    def _gather_presorted_rows(self, arr, slots_d, fill: float):
+        """Rows of a presorted-order view of ``arr`` (original order,
+        length >= n) at the given slots — without materializing the full
+        (n_out, ...) presorted copy (the feed path never builds it)."""
+        from ..ops import morton_device
+        layout = self._presorted_layout
+        if isinstance(layout, morton_device.DevicePresortedLayout):
+            src = jnp.take(layout.gidx, slots_d)
+            base = jnp.concatenate(
+                [jnp.asarray(arr)[:layout.n_real],
+                 jnp.full((1,) + arr.shape[1:], fill, arr.dtype)])
+            return jnp.take(base, jnp.minimum(src, layout.n_real), axis=0)
+        # host layout: candidate slots are real by construction, and the
+        # full presorted copy already exists
+        if arr is self.pos_smooth:
+            return jnp.take(self.pos_smooth_presorted, slots_d, axis=0)
+        full = layout.apply(np.asarray(arr)[:self.n], fill=fill)
+        return jnp.take(self._put(full), slots_d, axis=0)
+
+    def giant_candidates(self, size: int):
+        """Gathered arrays for the dense giant pass over the last ``size``
+        candidate slots: dict(pos (size, 4), buckets (size,), cell_ids
+        (size,)).  Cached per size (sizes are the power-of-two plan steps,
+        ops/splat_giant.plan_sizes, so a handful of variants exist)."""
+        from ..ops import morton
+        cache = getattr(self, "_giant_candidates", None)
+        if cache is None:
+            cache = self._giant_candidates = {}
+        got = cache.get(size)
+        if got is None:
+            slots, buckets = self.giant_meta()[:2]
+            sl = jnp.asarray(slots[len(slots) - size:], jnp.int32)
+            got = dict(
+                pos=self._gather_presorted_rows(self.pos_smooth, sl,
+                                                morton.PAD_POS),
+                buckets=jnp.asarray(buckets[len(buckets) - size:]),
+                cell_ids=jnp.take(jnp.asarray(self.cell_ids_presorted), sl))
+            cache[size] = got
+        return got
+
+    def giant_values_for(self, buffer_name: str, size: int):
+        """(size, C) candidate channel values, cached per values_version."""
+        cache = getattr(self, "_giant_values", None)
+        if cache is None:
+            cache = self._giant_values = {}
+        key = (buffer_name, size, self.values_version)
+        got = cache.get(key)
+        if got is None:
+            slots = self.giant_meta()[0]
+            sl = jnp.asarray(slots[len(slots) - size:], jnp.int32)
+            got = jnp.take(self.presorted_values_for(buffer_name), sl,
+                           axis=0)
+            cache = self._giant_values = {key: got}
+        return got
 
     # -- decimation-mip tiers for interactive LOD below the 1/8 floor ----------
 

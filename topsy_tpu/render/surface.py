@@ -40,7 +40,8 @@ def _render_block_surface(pos_smooth, values, cell_ids, cell_table, matrix,
                    static_argnames=("resolution", "width", "pad_group"))
 def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
                                   cell_table, matrix, scale, density_cut,
-                                  col0, *, resolution, width, pad_group):
+                                  col0, giant_bucket, *, resolution, width,
+                                  pad_group):
     """Column-slice z-buffered render (sort-free LOD, as sph.py's columns
     path) through the Pallas max-composite kernel (ops/zsplat_atlas.py).
     ``cell_table`` (None = no culling) masks unselected cells."""
@@ -65,7 +66,32 @@ def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
     return zsplat_atlas.zsplat_atlas(
         slice_cols(pos_smooth), slice_cols(values), matrix, resolution,
         scale, slice_cols(buckets), density_cut=density_cut,
-        extra_mask=mask)
+        extra_mask=mask, giants=giant_bucket)
+
+
+@functools.partial(jax.jit, static_argnames=("resolution",))
+def _render_giant_layer_surface(pos_smooth, values, buckets, cell_ids,
+                                cell_table, matrix, scale, density_cut, *,
+                                resolution):
+    """Exact dense hemisphere layer for giant splats in surface mode
+    (ops/splat_giant.zsplat_giant_image): full-support, true-h profile,
+    max-composited over the windowed image like any other fragment set."""
+    from ..ops import splat, splat_atlas as _sa, splat_giant
+    pyramid = _sa.default_pyramid(resolution)
+    cx, cy, z01, h_px, visible = splat.project(pos_smooth, matrix,
+                                               resolution, scale)
+    px_per_world = resolution / (2.0 * scale)
+    lev = splat.levels_from_buckets(buckets, px_per_world,
+                                    pyramid.num_levels)
+    h_l = h_px * splat.exp2_int(-lev)
+    mass, qty = values[:, 0], values[:, 1]
+    h_world = pos_smooth[:, 3]
+    rho = mass / jnp.maximum(h_world, 1e-30) ** 3
+    active = (visible & (rho > density_cut) & cell_table[cell_ids]
+              & (h_l > splat_giant.GIANT_H))
+    h_clip_half = h_world / scale * 0.5
+    return splat_giant.zsplat_giant_image(cy, cx, h_px, z01, h_clip_half,
+                                          qty, active, resolution)
 
 
 @jax.jit
@@ -130,6 +156,16 @@ class SurfaceSPHRenderer(SPHRenderer):
         cut = jnp.float32(self._density_cut_value())
         values = self._store.values_for(self._buffer_name)
 
+        if columns:
+            self._prepare_surface_giants(
+                matrix, scale, cut,
+                keep=(draw_reason == DrawReason.REFINE
+                      and self._image is not None))
+        else:
+            # the scatter fallback keeps the legacy truncated hemispheres
+            self._giant_bucket = None
+            self._surface_giant_layer = None
+
         prog.start_frame(draw_reason)
         first_block = draw_reason != DrawReason.REFINE or self._image is None
 
@@ -159,19 +195,51 @@ class SurfaceSPHRenderer(SPHRenderer):
                             first_block = False
                         else:
                             self._image = _max_composite(self._image, im)
-                        if sync_blocks:
-                            jax.block_until_ready(self._image)
+                    if sync_blocks:
+                        self._render_timer.sync(self._image)
             prog.end_block(self._render_timer.total_time_in_frame())
-        if not sync_blocks and self._image is not None:
+        layer = getattr(self, "_surface_giant_layer", None)
+        if layer is not None:
+            # max-composite is idempotent, so re-compositing the layer on
+            # every REFINE continuation is safe and keeps giants exact at
+            # any partial coverage
             with self._render_timer:
-                jax.block_until_ready(self._image)
-
-        self._render_timer.end_frame()
+                self._image = (layer if self._image is None
+                               else _max_composite(self._image, layer))
+        # EXPORT (sync_blocks=False) runs barrier-free (throughput mode,
+        # SPHRenderer._finish_frame): callers barrier on the readback and
+        # the enqueue-only timing is discarded
+        self._render_timer.end_frame(record=sync_blocks)
         prog.end_frame_get_scalefactor()
         self.last_render_mass_scale = 1.0  # max semantics need no rescale
         mean = self._render_timer.running_mean_duration
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
         self.has_rendered = True
+
+    def _prepare_surface_giants(self, matrix, scale, cut, keep: bool):
+        """Per-view giant planning for surface mode: sets the bucket
+        exclusion threshold for the windowed column slices and builds the
+        exact dense hemisphere layer (``keep`` reuses both across REFINE
+        continuations — the view is unchanged)."""
+        from ..ops import splat_atlas as _sa, splat_giant
+        if keep and getattr(self, "_giant_bucket", None) is not None:
+            return
+        store = self._store
+        num_levels = _sa.default_pyramid(self._resolution).num_levels
+        size, b_thresh = splat_giant.giant_plan(
+            store.giant_meta(), self._resolution, float(self.scale),
+            num_levels)
+        self._giant_bucket = b_thresh
+        if size == 0:
+            self._surface_giant_layer = None
+            return
+        with self._render_timer:
+            cand = store.giant_candidates(size)
+            self._surface_giant_layer = _render_giant_layer_surface(
+                cand["pos"],
+                store.giant_values_for(self._buffer_name, size),
+                cand["buckets"], cand["cell_ids"], self._cell_table,
+                matrix, scale, cut, resolution=self._resolution)
 
     def _render_columns_surface(self, matrix, scale, cut, col0: int,
                                 ncols: int, first_block: bool,
@@ -204,11 +272,15 @@ class SurfaceSPHRenderer(SPHRenderer):
         for width in slice_widths(layout):
             while ncols - off >= width:
                 with self._render_timer:
+                    from ..ops.splat_giant import BUCKET_DISABLED
+                    gb = self._giant_bucket
                     im, dropped = _render_block_columns_surface(
                         *flat_args,
                         self._cell_table if culling else None,
                         matrix, scale, cut,
-                        jnp.int32(col0 + off), resolution=self._resolution,
+                        jnp.int32(col0 + off),
+                        jnp.int32(BUCKET_DISABLED if gb is None else gb),
+                        resolution=self._resolution,
                         width=width, pad_group=pad_group)
                     self._dropped_splats = dropped
                     if first_block:
@@ -216,8 +288,8 @@ class SurfaceSPHRenderer(SPHRenderer):
                         first_block = False
                     else:
                         self._image = _max_composite(self._image, im)
-                    if sync_blocks:
-                        jax.block_until_ready(self._image)
+                if sync_blocks:
+                    self._render_timer.sync(self._image)
                 off += width
         if off != ncols:
             raise AssertionError(f"unrenderable column range {ncols}")

@@ -414,8 +414,8 @@ class VisualizerBase:
         """Full presentation frame with overlays at the given size."""
         return self.draw(DrawReason.EXPORT, target=resolution)
 
-    def get_depth_image(self) -> np.ndarray:
-        return self._sph.get_depth_image()
+    def get_depth_image(self, depth_renderer_reason=DrawReason.CHANGE) -> np.ndarray:
+        return self._sph.get_depth_image(depth_renderer_reason)
 
     @contextmanager
     def prevent_sph_rendering(self):
