@@ -85,6 +85,18 @@ def main():
     out["interactive_fps_median"] = round(
         1.0 / sorted(times)[len(times) // 2], 1)
 
+    # spill / dropped accounting at this scale (the windowed engines report
+    # particles whose deposits could not be placed; must be 0 in steady
+    # state — BASELINE.md round-2 demand)
+    dropped = getattr(vis._sph, "_dropped_splats", None)
+    out["interactive_dropped_splats"] = (int(dropped)
+                                         if dropped is not None else 0)
+    vis._sph.render(DrawReason.EXPORT)
+    device_sync(vis._sph._image)
+    dropped = getattr(vis._sph, "_dropped_splats", None)
+    out["export_dropped_splats"] = (int(dropped)
+                                    if dropped is not None else 0)
+
     print(json.dumps(out))
 
 

@@ -218,27 +218,38 @@ def test_from_process_local_padded_len_validation(data):
                                atol=1e-7)
 
 
-def test_multi_process_presorted_degrades_gracefully(data, monkeypatch):
-    """On a real pod (process_count > 1) the automatic render paths cannot
-    negotiate padded_local_len, so supports_presorted() must report False
-    (falling back to the unsorted block renderer) instead of letting
-    ensure_presorted() raise mid-frame — unless the caller already built
-    the slabs with an agreed length (code-review round 2)."""
+def test_multi_process_presort_negotiates_automatically(data, monkeypatch):
+    """On a pod (process_count > 1) ensure_presorted negotiates the shared
+    padded_local_len itself: an allgather-max of each process's natural
+    per-device length (jax.experimental.multihost_utils), so the automatic
+    render paths need no manual constant (SURVEY §2.10 row 8).  Simulated
+    here by faking process_count and the allgather: a peer host reporting a
+    longer natural length must make this host pad up to it, with an
+    unchanged image (padding adds only inactive groups)."""
     import jax
+    from jax.experimental import multihost_utils
     ps, vals, matrix = data
+    ds_ref = _process_local_splatter(ps, vals, 8)
+    ds_ref.ensure_presorted()
+    natural = ds_ref._presorted["local_n"]
+    im_ref, _ = ds_ref.render_presorted(matrix, SCALE)
+
     ds = _process_local_splatter(ps, vals, 8)
-    ds2 = _process_local_splatter(ps, vals, 8)
-    ds2.ensure_presorted()  # built while "single-process"
-    natural = ds2._presorted["local_n"]
     monkeypatch.setattr(jax, "process_count", lambda: 2)
-    assert not ds.supports_presorted()
-    assert ds.presorted_layout is None
-    # explicit agreed length still enables the fast path
-    ds.ensure_presorted(padded_local_len=natural)
-    assert ds.supports_presorted()
-    assert ds.presorted_layout is not None
-    # slabs built before the pod grew keep working
-    assert ds2.supports_presorted()
+    calls = []
+
+    def fake_allgather(x):
+        calls.append(int(x))
+        return np.asarray([int(x), natural + 4096], dtype=np.int64)
+
+    monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+    assert ds.supports_presorted()  # negotiation is automatic now
+    ds.ensure_presorted()
+    assert calls == [natural]
+    assert ds._presorted["local_n"] == natural + 4096
+    im, _ = ds.render_presorted(matrix, SCALE)
+    np.testing.assert_allclose(np.asarray(im), np.asarray(im_ref),
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_feed_path_multichip_matches_legacy(data):
@@ -294,3 +305,58 @@ def test_feed_path_multichip_culling(data):
     assert im_feed[..., 0].sum() == pytest.approx(im_leg[..., 0].sum(),
                                                   rel=1e-3)
     assert np.abs(im_feed - im_leg).max() <= 0.01 * np.abs(im_leg).max()
+
+
+def test_feed_columns_with_giant_threshold(data):
+    """Regression: the mesh feed column path must accept a giant bucket
+    threshold (round 3 shipped a pytree mismatch: _render_columns_fields
+    never passed the gb_thresh scalar its shard_map specs declare — the
+    exact call every interactive CHANGE frame makes on a real TPU pod).
+    Threshold exclusion must agree between the feed and legacy engines,
+    and the raw-API default (None) must render giants exactly on both."""
+    ps, vals, matrix = data
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES)
+    sp.ensure_presorted()
+    thresh = 3  # exclude the largest smoothing buckets on every path
+
+    im_leg, d0 = sp.render_columns(matrix, SCALE, 0, 128,
+                                   giant_bucket=thresh)
+    sp._force_feed = True
+    assert sp._use_feed()
+    im_feed, d1 = sp._render_columns_fields(matrix, SCALE, 0, 128, None,
+                                            giant_bucket=thresh)
+    assert int(d0) == 0 and int(d1) == 0
+    im_leg = np.asarray(im_leg)
+    im_feed = np.asarray(im_feed)
+    assert im_feed[..., 0].sum() == pytest.approx(im_leg[..., 0].sum(),
+                                                  rel=1e-3)
+    assert np.abs(im_feed - im_leg).max() <= \
+        0.01 * max(np.abs(im_leg).max(), 1e-12)
+
+    # presorted feed path with the same threshold (the EXPORT-frame call)
+    im_p_feed, d2 = sp._render_presorted_fields(matrix, SCALE, None,
+                                                giant_bucket=thresh)
+    sp._force_feed = False
+    im_p_leg, d3 = sp.render_presorted(matrix, SCALE, giant_bucket=thresh)
+    assert int(d2) == 0 and int(d3) == 0
+    np.testing.assert_allclose(np.asarray(im_p_feed)[..., 0].sum(),
+                               np.asarray(im_p_leg)[..., 0].sum(), rtol=1e-3)
+
+
+def test_mesh_giant_contract_uniform(data):
+    """render(), render_presorted() and render_columns() agree on the
+    default giant contract (exact in-call): the truncated mode ('none')
+    must not silently be the default anywhere."""
+    ps, vals, matrix = data
+    mesh = make_mesh(8)
+    sp = DistributedSplatter(mesh, ps, vals, RES)
+    im_sorted = np.asarray(sp.render(matrix, SCALE))
+    im_pre, _ = sp.render_presorted(matrix, SCALE)
+    im_trunc, _ = sp.render_presorted(matrix, SCALE, giant_bucket="none")
+    im_pre = np.asarray(im_pre)
+    im_trunc = np.asarray(im_trunc)
+    assert im_pre[..., 0].sum() == pytest.approx(im_sorted[..., 0].sum(),
+                                                 rel=1e-3)
+    # 'none' stays available for A/B but is never the default contract
+    assert np.isfinite(im_trunc).all()

@@ -164,6 +164,39 @@ def test_render_presentation_vs_reference(vis):
     npt.assert_allclose(got, expect, atol=5)
 
 
+def test_hdr_rgb_presentation_vs_reference():
+    """reference: tests/test_render_output.py:69-141 (test_hdr_rgb_render).
+
+    The only reference-anchored check of the full SSP band-masses ->
+    mag<->vmin -> float16 HDR presentation pipeline: n=1000, scale=20,
+    min_mag/max_mag 38/40, sampled presentation RGB at the reference's own
+    atol=1e-2."""
+    vis = _vis(render_mode="rgb-hdr")
+    vis.scale = 20.0
+    vis.colormap.update_parameters({"min_mag": 38.0, "max_mag": 40.0})
+    result = np.asarray(vis.get_sph_presentation_image())[..., :3]
+    assert result.dtype == np.float16
+    expect = EXPECTED["test_hdr_rgb_render.result_ref"].astype(np.float32)
+    npt.assert_allclose(result[::20, ::20].ravel().astype(np.float32),
+                        expect, atol=1e-2)
+
+
+def test_bivariate_rgba_vs_reference():
+    """reference: tests/test_render_output.py:412,446 (expect_rgba, atol=5):
+    the bivariate 2-D LUT end product (density -> lightness, quantity ->
+    hue) through the presentation path."""
+    vis = _vis(render_mode="bivariate")
+    vis.quantity_name = "test-quantity"
+    vis.scale = 20.0
+    vis.rotate(0.0, 0.5)
+    vis.render_sph(DrawReason.EXPORT)
+    mapped = np.asarray(vis.get_sph_presentation_image())
+    assert mapped.dtype == np.uint8
+    expect = EXPECTED["test_bivariate_render.expect_rgba"].astype(np.int32)
+    got = mapped[::20, ::20].ravel().astype(np.int32)
+    npt.assert_allclose(got, expect, atol=5)
+
+
 def test_surface_vs_reference():
     """reference: tests/test_render_output.py:451-518 (test_surface_render).
 
@@ -181,17 +214,50 @@ def test_surface_vs_reference():
     result = np.asarray(vis.get_sph_image())
     assert result.shape == (200, 200, 2)
     depth = result[::20, ::20, 1].ravel()
+    qty = result[::20, ::20, 0].ravel()
     expect_depth = EXPECTED["test_surface_render.depth_expectation"]
+    expect_qty = EXPECTED["test_surface_render.quantity_expectation"]
     covered = expect_depth > 0
     ours_covered = depth > 0
-    # surface coverage agrees on >= 90% of sampled pixels
-    assert (covered == ours_covered).mean() >= 0.90
+    # per-pixel-class comparison, like the reference's avoid_mask
+    # (test_render_output.py:503-505 masks its own worst pixel): coverage
+    # must agree everywhere except explicitly-listed silhouette pixels
+    # where a slightly different kernel footprint flips which surface the
+    # z-buffer arg-max selects
+    flipped = covered != ours_covered
+    assert flipped.sum() <= _SURFACE_SILHOUETTE_BUDGET, \
+        f"coverage flips at sampled pixels {np.flatnonzero(flipped)}"
     both = covered & ours_covered
-    # depth agrees within 10% on >= 90% of jointly covered pixels; the
-    # remainder are silhouette-edge pixels where a slightly different
-    # kernel footprint flips which surface the z-buffer arg-max selects
-    # (measured: 22/24 pixels agree to 3-4 decimals, 2 flip surfaces)
-    close = np.isclose(depth[both], expect_depth[both], rtol=0.1)
-    assert close.mean() >= 0.90
-    npt.assert_allclose(np.median(np.abs(depth[both] - expect_depth[both])),
-                        0.0, atol=5e-3)
+    ok_depth = np.isclose(depth[both], expect_depth[both], rtol=1e-3)
+    ok_qty = np.isclose(qty[both], expect_qty[both], rtol=1e-3,
+                        atol=1e-7)
+    # reference tolerance (rtol=1e-3, :504-505) on every jointly-covered
+    # pixel except the silhouette flips
+    bad = np.flatnonzero(both)[~(ok_depth & ok_qty)]
+    assert len(bad) <= _SURFACE_SILHOUETTE_BUDGET, \
+        f"surface channels off at sampled pixels {bad}: " \
+        f"depth {depth[bad]} vs {expect_depth[bad]}, " \
+        f"qty {qty[bad]} vs {expect_qty[bad]}"
+
+
+# sampled surface pixels allowed to disagree with the reference: the
+# z-buffer arg-max sits on a silhouette edge there, so any sub-pixel
+# kernel-footprint difference flips which surface wins (measured set; the
+# reference masks its own worst pixel the same way, avoid_mask[67])
+_SURFACE_SILHOUETTE_BUDGET = 4
+
+
+def test_surface_presentation_vs_reference():
+    """reference: tests/test_render_output.py:521-556: bilateral filter +
+    lighting presentation, at the reference's own (self-described 'very
+    loose') atol=30."""
+    vis = _vis(n=int(1e5), render_mode="surface")
+    vis.quantity_name = "test-quantity"
+    vis.scale = 30.0
+    vis.rotate(0.0, 1.0)
+    vis.render_sph(DrawReason.EXPORT)
+    pres = np.asarray(vis.get_sph_presentation_image())
+    assert pres.shape == (200, 200, 4)
+    expect = EXPECTED["test_surface_render.presentation_expectation"]
+    got = pres[::20, ::20].ravel().astype(np.int32)
+    npt.assert_allclose(got, expect.astype(np.int32), atol=30)

@@ -102,3 +102,67 @@ def test_jupyter_widget_tree_builds(vis):
     frame = np.zeros((64, 64, 4), dtype=np.uint8)
     canvas.present_frame(frame)
     assert len(canvas._image_widget.value) > 0
+
+
+def test_jupyter_dom_event_wiring(vis, monkeypatch):
+    """Drive JupyterCanvas._dom_event through a stubbed ipyevents module
+    (reference parity: tests/test_jupyter_interface.py exercises the
+    notebook UI end-to-end): drag rotates, shift-drag pans, wheel zooms,
+    dblclick/keyup reach their handlers, mouseup releases the drag."""
+    pytest.importorskip("ipywidgets")
+    import sys
+    import types
+
+    captured = {}
+
+    class FakeEvent:
+        def __init__(self, source=None, watched_events=()):
+            captured["source"] = source
+            captured["watched"] = tuple(watched_events)
+
+        def on_dom_event(self, cb):
+            captured["cb"] = cb
+
+    fake = types.ModuleType("ipyevents")
+    fake.Event = FakeEvent
+    monkeypatch.setitem(sys.modules, "ipyevents", fake)
+
+    from topsy_tpu.canvas.jupyter import JupyterCanvas
+    canvas = JupyterCanvas(visualizer=vis)
+    assert captured["source"] is canvas._image_widget
+    assert {"dragmove", "mousedown", "wheel", "dblclick"} <= set(captured["watched"])
+    fire = captured["cb"]
+    assert fire == canvas._dom_event
+
+    # drag: mousedown anchors, dragmove rotates
+    rot_before = np.array(vis.rotation_matrix)
+    fire({"type": "mousedown", "dataX": 10, "dataY": 10})
+    assert canvas._drag_active
+    fire({"type": "dragmove", "dataX": 30, "dataY": 15})
+    assert not np.allclose(np.array(vis.rotation_matrix), rot_before)
+
+    # shift-drag pans in the view plane
+    pos_before = np.array(vis.position_offset)
+    fire({"type": "dragmove", "dataX": 50, "dataY": 15, "shiftKey": True})
+    assert not np.allclose(np.array(vis.position_offset), pos_before)
+
+    # mouseup releases the drag; further dragmoves are ignored
+    fire({"type": "mouseup", "dataX": 50, "dataY": 15})
+    assert not canvas._drag_active
+    rot_mid = np.array(vis.rotation_matrix)
+    fire({"type": "dragmove", "dataX": 80, "dataY": 40})
+    assert np.allclose(np.array(vis.rotation_matrix), rot_mid)
+
+    # wheel zooms exponentially
+    scale_before = float(vis.scale)
+    fire({"type": "wheel", "deltaY": 5})
+    assert float(vis.scale) != scale_before
+
+    # dblclick and keyup reach their canvas handlers
+    calls = []
+    monkeypatch.setattr(canvas, "double_click",
+                        lambda x, y: calls.append(("dbl", x, y)))
+    monkeypatch.setattr(canvas, "key_up", lambda k: calls.append(("key", k)))
+    fire({"type": "dblclick", "dataX": 32, "dataY": 32})
+    fire({"type": "keyup", "key": "r"})
+    assert ("dbl", 32, 32) in calls and ("key", "r") in calls

@@ -77,6 +77,39 @@ def test_mode_switch_and_revert(vis):
     vis.render_mode = "univariate"
 
 
+class RestrictedFormatCanvas(OffscreenCanvas):
+    """A canvas that cannot present HDR (reference parity:
+    tests/test_render_mode.py:42-49, RestrictedModeOffscreenCanvas)."""
+
+    def supported_formats(self):
+        return ("rgba8unorm",)
+
+
+def test_mode_rollback_on_capability_failure():
+    """Switching to a *valid* mode the canvas cannot present fails during
+    initialization and reverts to the previous mode (reference:
+    tests/test_render_mode.py:51-63 test_render_mode_fail)."""
+    vis = topsy_tpu.test(200, render_resolution=32,
+                         canvas_class=RestrictedFormatCanvas,
+                         render_mode="univariate")
+    original = vis.render_mode
+    with pytest.raises(ValueError, match="cannot present"):
+        vis.render_mode = "rgb-hdr"
+    assert vis.render_mode == original
+    # the reverted visualizer still renders
+    im = vis.get_sph_image()
+    assert np.isfinite(np.asarray(im)).all()
+
+
+def test_init_fails_on_unpresentable_mode():
+    """Constructing directly in an unpresentable mode raises (no previous
+    mode to revert to)."""
+    with pytest.raises(ValueError, match="cannot present"):
+        topsy_tpu.test(200, render_resolution=32,
+                       canvas_class=RestrictedFormatCanvas,
+                       render_mode="rgb-hdr")
+
+
 def test_hdr_mode_outputs_float16(vis):
     vis.render_mode = "rgb-hdr"
     pres = vis.get_sph_presentation_image()
@@ -118,17 +151,35 @@ def test_save_tiff_hdr(tmp_path):
     vis = topsy_tpu.test(2000, render_resolution=64,
                          canvas_class=OffscreenCanvas, render_mode="rgb-hdr")
     tif = tmp_path / "out.tiff"
-    try:
-        import tifffile  # noqa: F401
-    except ImportError:
-        with pytest.raises(RuntimeError, match="tifffile"):
-            vis.save(str(tif))
-        return
-    vis.save(str(tif))
-    import tifffile
-    arr = tifffile.imread(str(tif))
+    vis.save(str(tif))  # tifffile when present, vendored writer otherwise
+    from topsy_tpu import hdr_tiff
+    arr = hdr_tiff.imread(str(tif))
     assert arr.dtype == np.float16
     assert arr.shape == (64, 64, 3)
+    # the written pixels are the presentation image itself
+    expect = np.asarray(vis.get_sph_presentation_image())[..., :3]
+    np.testing.assert_array_equal(np.asarray(arr, np.float16),
+                                  expect.astype(np.float16))
+    try:
+        import tifffile
+    except ImportError:
+        pass
+    else:
+        arr2 = tifffile.imread(str(tif))
+        np.testing.assert_array_equal(arr2, arr)
+
+
+def test_hdr_tiff_roundtrip(tmp_path):
+    """Vendored float16 TIFF writer/reader round trip (RGB and grayscale)."""
+    from topsy_tpu import hdr_tiff
+    rng = np.random.RandomState(0)
+    rgb = rng.random_sample((5, 7, 3)).astype(np.float16)
+    p = tmp_path / "rt.tiff"
+    hdr_tiff.imwrite(str(p), rgb)
+    np.testing.assert_array_equal(hdr_tiff.imread(str(p)), rgb)
+    gray = rng.random_sample((4, 6)).astype(np.float16)
+    hdr_tiff.imwrite(str(p), gray)
+    np.testing.assert_array_equal(hdr_tiff.imread(str(p)), gray)
 
 
 def test_depth_image_and_double_click(vis):

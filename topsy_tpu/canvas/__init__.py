@@ -36,6 +36,20 @@ class VisualizerCanvasBase:
         self.pixel_ratio = 1.0
         super().__init__(*args, **kwargs)
 
+    # -- capabilities -----------------------------------------------------------
+
+    def supported_formats(self) -> tuple[str, ...]:
+        """Presentation formats this canvas can present.
+
+        The mode-switch machinery consults this before building a pipeline
+        (Visualizer._initialize_sph_and_colormap_and_bar), so a backend that
+        cannot present HDR makes 'rgb-hdr' fail at initialization — and the
+        revert-on-failure path restores the previous mode.  Mirrors the
+        reference's present-method capability query, where a canvas
+        restricted to rgba-u8 makes HDR pipeline creation raise
+        (reference: tests/test_render_mode.py:42-67)."""
+        return ("rgba8unorm", "rgba16float")
+
     # -- event plumbing ---------------------------------------------------------
 
     def event_handler(self, event: dict):

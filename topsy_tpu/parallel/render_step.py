@@ -49,6 +49,28 @@ def unstride(arr: np.ndarray) -> np.ndarray:
     return arr.swapaxes(0, 1).reshape(d * per, *arr.shape[2:])
 
 
+def _giant_mode(giant_bucket):
+    """Resolve the raw-API giant contract to (auto: bool, gb_thresh).
+
+    ``giant_bucket`` is uniform across render()/render_presorted()/
+    render_columns(): ``None`` (default) renders giants exactly in-call on
+    each shard (splat_atlas giants='auto'; each particle lives on exactly
+    one shard, so the psum of per-shard exact layers is exact) — the same
+    default as the sorted render() path; the string ``'none'`` keeps the
+    truncated windowed deposit (A/B tests); an integer smoothing-bucket
+    threshold excludes giants from the windowed deposit and renders nothing
+    for them — the caller owns one dense exact layer per frame
+    (render/sph._prepare_giants, the product renderers' contract)."""
+    if giant_bucket is None:
+        return True, jnp.int32(splat_giant.BUCKET_DISABLED)
+    if isinstance(giant_bucket, str):
+        if giant_bucket != "none":
+            raise ValueError(f"giant_bucket {giant_bucket!r} invalid "
+                             "(None, 'none', or a bucket threshold)")
+        return False, jnp.int32(splat_giant.BUCKET_DISABLED)
+    return False, jnp.int32(giant_bucket)
+
+
 def local_bucket_size(count_hint: int, local_n: int) -> int:
     """Power-of-two local bucket covering a global range on one shard."""
     from ..render.store import MAX_BUCKET, MIN_BUCKET
@@ -213,20 +235,31 @@ class DistributedSplatter:
 
     def supports_presorted(self) -> bool:
         """True for single-host construction (global host arrays kept) AND
-        for from_process_local (each process presorts its own rows).
+        for from_process_local (each process presorts its own rows; with
+        more than one process ensure_presorted negotiates the shared
+        ``padded_local_len`` automatically via an allgather-max, so the
+        automatic render paths work unmodified on a pod).
 
-        With more than one process, building the slabs needs an agreed
-        ``padded_local_len`` (see ensure_presorted), which the automatic
-        render paths cannot negotiate — so unless the caller already built
-        them explicitly, report False and let those paths fall back to the
-        unsorted block renderer instead of raising mid-frame."""
+        False only when construction kept no host rows at all — then the
+        fast paths fall back to the unsorted block renderer, loudly
+        (_warn_presorted_unavailable)."""
         if self.has_presorted():
             return True
-        if (jax.process_count() > 1
-                and getattr(self, "_host_pos_smooth", None) is None):
-            return False
         return (getattr(self, "_host_pos_smooth", None) is not None
                 or getattr(self, "_local_pos_smooth", None) is not None)
+
+    def _warn_presorted_unavailable(self, what: str):
+        """One-shot warning when a fast path silently drops to the unsorted
+        block renderer (an order-of-magnitude throughput loss at scale must
+        never be silent — SURVEY §2.10 row 8)."""
+        if getattr(self, "_warned_presorted", False):
+            return
+        self._warned_presorted = True
+        import logging
+        logging.getLogger(__name__).warning(
+            "presorted Morton slabs unavailable (construction kept no host "
+            "rows): %s falls back to the unsorted block renderer "
+            "(~10x slower at scale)", what)
 
     def has_presorted(self) -> bool:
         return getattr(self, "_presorted", None) is not None
@@ -243,17 +276,16 @@ class DistributedSplatter:
         the blend is additive over disjoint subsets, and column slices stay
         fair subsamples (the per-group shuffle is per-layout but every
         layout's columns are fair).  With more than one process the padded
-        per-device length is data-dependent per host, so callers must
-        agree on ``padded_local_len`` beforehand (allreduce-max of the
-        natural lengths); single-process needs neither.
+        per-device length is data-dependent per host; it is negotiated
+        automatically (allgather-max of the natural lengths over DCN,
+        _negotiate_padded_len) — ``padded_local_len`` remains available to
+        skip the collective when callers already agreed on a length.
         """
         if self._presorted is not None:
             return
         if (self._host_pos_smooth is None
                 and getattr(self, "_local_pos_smooth", None) is None):
             return  # construction kept no host rows; nothing to presort
-        if padded_local_len is None and not self.supports_presorted():
-            return  # multi-process without an agreed length: fast paths off
         from ..ops import morton
         sharding = NamedSharding(self.mesh, P(self.axis))
 
@@ -322,10 +354,8 @@ class DistributedSplatter:
         natural = layout.n_out // nl_dev
         if padded_local_len is None:
             if jax.process_count() > 1:
-                raise ValueError(
-                    "multi-process ensure_presorted needs an agreed "
-                    "padded_local_len (allreduce-max the natural per-device "
-                    f"lengths; this process computed {natural})")
+                padded_local_len = self._negotiate_padded_len(natural)
+        if padded_local_len is None:
             ln = natural
         else:
             if padded_local_len < natural or padded_local_len % 4096:
@@ -359,6 +389,21 @@ class DistributedSplatter:
             cell_ids=slab(layout.apply(cell_ids), 0),
         )
 
+    @staticmethod
+    def _negotiate_padded_len(natural: int) -> int:
+        """Allgather-max of this process's natural per-device slab length.
+
+        Every host must build identically-shaped slabs for
+        make_array_from_process_local_data; the natural lengths are
+        data-dependent per host, so agree on their maximum over DCN
+        (jax.experimental.multihost_utils — one tiny collective at load
+        time; render-step communication stays on ICI).  Lengths are
+        multiples of 4096 by construction, so the max stays valid."""
+        from jax.experimental import multihost_utils
+        lens = multihost_utils.process_allgather(
+            np.asarray(natural, dtype=np.int64))
+        return int(np.max(lens))
+
     def _build_mesh_mips(self, dlayout, ps_dev, tier_dict) -> list:
         """Decimation-mip tiers for the mesh column path (the multi-chip
         analogue of store.ensure_column_mips): chained presorted layouts
@@ -390,6 +435,7 @@ class DistributedSplatter:
         """Mip-tier layouts, deepest first (the progression's tier order) —
         [] when no tiers were built or slabs are unavailable."""
         if not self.supports_presorted():
+            self._warn_presorted_unavailable("decimation-mip tiers")
             return []
         self.ensure_presorted()
         if not self._presorted:
@@ -455,7 +501,7 @@ class DistributedSplatter:
         return m
 
     def _build_presorted_step_fields(self, piece_g: int, whole: bool,
-                                     has_mask: bool):
+                                     has_mask: bool, auto_giants: bool):
         axis = self.axis
         resolution = self.resolution
         depth_channel = self._depth_channel
@@ -471,15 +517,17 @@ class DistributedSplatter:
                 mask = args[k][0]
                 k += 1
             matrix, scale, g0, gb_thresh = args[k:k + 4]
-            # giant exclusion by smoothing bucket, identical to the
-            # single-chip fields path (render/sph._render_block_fields):
-            # buckets travel with the slab data, so the same threshold is
-            # valid on every shard; the caller owns the dense layer
+            # giant handling per _giant_mode: 'auto' renders each shard's
+            # giants exactly in-call; a bucket threshold excludes them,
+            # identical to the single-chip fields path
+            # (render/sph._render_block_fields) — buckets travel with the
+            # slab data, so the same threshold is valid on every shard and
+            # the caller owns the dense layer
             im, dropped = splat_atlas.splat_atlas_fields(
                 fields, vals, matrix, resolution, scale, gb, mask=mask,
                 depth_channel=depth_channel,
                 piece=None if whole else (g0, piece_g),
-                giants=gb_thresh)
+                giants="auto" if auto_giants else gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
@@ -502,25 +550,26 @@ class DistributedSplatter:
         base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
         if mask is not None:
             base = base + (mask,)
-        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
-                              if giant_bucket is None else giant_bucket)
+        auto, gb_thresh = _giant_mode(giant_bucket)
         total = None
         dropped = jnp.int32(0)
         for g0 in range(0, ngl, piece_g):
             pg = min(piece_g, ngl - g0)
             whole = pg == ngl
-            key = ("fields", pg, whole, mask is not None)
+            key = ("fields", pg, whole, mask is not None, auto)
             step = self._presorted_steps.get(key)
             if step is None:
                 step = self._presorted_steps[key] = \
-                    self._build_presorted_step_fields(pg, whole, mask is not None)
+                    self._build_presorted_step_fields(pg, whole,
+                                                      mask is not None, auto)
             im, d = step(*base, jnp.asarray(matrix, jnp.float32),
                          jnp.float32(scale), jnp.int32(g0), gb_thresh)
             total = im if total is None else total + im
             dropped = dropped + d
         return total, dropped
 
-    def _build_columns_step_fields(self, width: int, has_mask: bool):
+    def _build_columns_step_fields(self, width: int, has_mask: bool,
+                                   auto_giants: bool):
         axis = self.axis
         resolution = self.resolution
         depth_channel = self._depth_channel
@@ -538,12 +587,14 @@ class DistributedSplatter:
             matrix, scale, col0, gb_thresh = args[k:k + 4]
             sliced, svals, sgb, smask = splat_atlas.slice_column_fields(
                 fields, vals, gb, mask, col0, width)
-            # bucket-threshold giant exclusion as in the single-chip column
-            # path (render/sph._render_block_columns_fields); the render
-            # loop's dense layer (_prepare_giants) covers the exact giants
+            # giant handling per _giant_mode; threshold mode matches the
+            # single-chip column path (render/sph._render_block_columns_fields):
+            # the render loop's dense layer (_prepare_giants) covers the
+            # exact giants
             im, dropped = splat_atlas.splat_atlas_fields(
                 sliced, svals, matrix, resolution, scale, sgb, mask=smask,
-                depth_channel=depth_channel, giants=gb_thresh)
+                depth_channel=depth_channel,
+                giants="auto" if auto_giants else gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
@@ -563,19 +614,22 @@ class DistributedSplatter:
         base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
         if mask is not None:
             base = base + (mask,)
+        auto, gb_thresh = _giant_mode(giant_bucket)
         total = None
         dropped = jnp.int32(0)
         off = 0
         for width in slice_widths(layout):
             while ncols - off >= width:
-                key = ("fields", width, mask is not None)
+                key = ("fields", width, mask is not None, auto)
                 step = self._column_steps.get(key)
                 if step is None:
                     step = self._column_steps[key] = \
                         self._build_columns_step_fields(width,
-                                                        mask is not None)
+                                                        mask is not None,
+                                                        auto)
                 im, d = step(*base, jnp.asarray(matrix, jnp.float32),
-                             jnp.float32(scale), jnp.int32(col0 + off))
+                             jnp.float32(scale), jnp.int32(col0 + off),
+                             gb_thresh)
                 total = im if total is None else total + im
                 dropped = dropped + d
                 off += width
@@ -583,7 +637,7 @@ class DistributedSplatter:
             raise AssertionError(f"unrenderable column range {ncols}")
         return total, dropped
 
-    def _build_presorted_step(self, bucket: int):
+    def _build_presorted_step(self, bucket: int, auto_giants: bool):
         axis = self.axis
         resolution = self.resolution
         depth_channel = self._depth_channel
@@ -603,7 +657,7 @@ class DistributedSplatter:
             im, dropped = splat_atlas.splat_atlas(
                 p, v, matrix, resolution, scale, extra_mask=mask,
                 depth_channel=depth_channel, presorted_buckets=b,
-                giants=gb_thresh)
+                giants="auto" if auto_giants else gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         shard_fn = jax.shard_map(
@@ -617,14 +671,15 @@ class DistributedSplatter:
     @property
     def presorted_layout(self):
         """The PresortedLayout backing the slabs (after ensure_presorted);
-        None when the slabs cannot be built automatically (multi-process
-        without an agreed padded_local_len)."""
+        None when construction kept no host rows to presort."""
         if not self.supports_presorted():
+            self._warn_presorted_unavailable("presorted_layout")
             return None
         self.ensure_presorted()
         return self._presorted["layout"] if self._presorted else None
 
-    def _build_columns_step(self, width: int, pad_group: int):
+    def _build_columns_step(self, width: int, pad_group: int,
+                            auto_giants: bool):
         """shard_map step rendering columns [col0, col0+width) of every
         device slab's (groups x pad_group) matrix, psum-reduced — the
         multi-chip analogue of render/sph.py's sort-free column LOD (the
@@ -657,13 +712,14 @@ class DistributedSplatter:
                 p, v, b, cid = (slice_cols(pos), slice_cols(vals),
                                 slice_cols(buckets), slice_cols(ids))
             mask = cell_table[cid]
-            # bucket-threshold giant exclusion as in the single-chip
-            # column path (render/sph._render_block_columns); the render
-            # loop's dense layer (_prepare_giants) covers the exact giants
+            # giant handling per _giant_mode; threshold mode matches the
+            # single-chip column path (render/sph._render_block_columns):
+            # the render loop's dense layer (_prepare_giants) covers the
+            # exact giants
             im, dropped = splat_atlas.splat_atlas(
                 p, v, matrix, resolution, scale, extra_mask=mask,
                 depth_channel=depth_channel, presorted_buckets=b,
-                giants=gb_thresh)
+                giants="auto" if auto_giants else gb_thresh)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         shard_fn = jax.shard_map(
@@ -740,7 +796,11 @@ class DistributedSplatter:
         the mesh; returns (image (res, res, C), dropped).  Pieces combine
         host-side with the same strictly-greater depth compare as the
         single-chip renderer.  ``tier`` selects a decimation-mip tier's
-        slabs (deepest first; None = main layout)."""
+        slabs (deepest first; None = main layout).  ``giant_bucket``: an
+        int smoothing-bucket threshold excludes giants for the caller's
+        dense hemisphere layer (render/surface._prepare_surface_giants);
+        None/'none' keep the truncated/squeezed windowed hemisphere — the
+        z-buffered kernel has no in-call exact mode (ops/zsplat_atlas.py)."""
         from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._tier(tier)
@@ -750,7 +810,8 @@ class DistributedSplatter:
         if steps is None:
             steps = self._column_surface_steps = {}
         gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
-                              if giant_bucket is None else giant_bucket)
+                              if giant_bucket in (None, "none")
+                              else giant_bucket)
         total = None
         dropped = jnp.int32(0)
         off = 0
@@ -782,10 +843,11 @@ class DistributedSplatter:
         """Render whole columns [col0, col0+ncols) across the mesh,
         decomposed into power-of-two slice widths; returns (image, dropped).
         ``tier`` selects a decimation-mip tier's slabs (deepest first;
-        None = main layout).  ``giant_bucket``: smoothing-bucket threshold
-        excluding giants from the windowed deposit (the renderer adds one
-        dense exact layer per frame, render/sph._prepare_giants); None
-        disables the exclusion."""
+        None = main layout).  ``giant_bucket`` follows the uniform raw-API
+        contract (_giant_mode): None renders giants exactly in-call like
+        render(); an int threshold excludes them for a caller-owned dense
+        layer (render/sph._prepare_giants); 'none' keeps the truncated
+        deposit."""
         from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._tier(tier)
@@ -795,17 +857,18 @@ class DistributedSplatter:
                                                giant_bucket=giant_bucket)
         layout = ps["layout"]
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
-        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
-                              if giant_bucket is None else giant_bucket)
+        auto, gb_thresh = _giant_mode(giant_bucket)
         total = None
         dropped = jnp.int32(0)
         off = 0
         for width in slice_widths(layout):
             while ncols - off >= width:
-                step = self._column_steps.get(width)
+                key = (width, auto)
+                step = self._column_steps.get(key)
                 if step is None:
-                    step = self._column_steps[width] = \
-                        self._build_columns_step(width, layout.pad_group)
+                    step = self._column_steps[key] = \
+                        self._build_columns_step(width, layout.pad_group,
+                                                 auto)
                 im, d = step(ps["pos"], ps["values"], ps["buckets"],
                              ps["cell_ids"], table,
                              jnp.asarray(matrix, jnp.float32),
@@ -830,15 +893,15 @@ class DistributedSplatter:
         ln = ps["local_n"]
         bucket = local_bucket_size(ln, ln)
         table = self._all_cells if cell_mask is None else jnp.asarray(cell_mask)
-        gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
-                              if giant_bucket is None else giant_bucket)
+        auto, gb_thresh = _giant_mode(giant_bucket)
         total = None
         dropped = jnp.int32(0)
         for piece in range(0, ln, bucket):
-            step = self._presorted_steps.get(bucket)
+            key = (bucket, auto)
+            step = self._presorted_steps.get(key)
             if step is None:
-                step = self._presorted_steps[bucket] = \
-                    self._build_presorted_step(bucket)
+                step = self._presorted_steps[key] = \
+                    self._build_presorted_step(bucket, auto)
             im, d = step(ps["pos"], ps["values"], ps["buckets"],
                          ps["cell_ids"], table,
                          jnp.asarray(matrix, jnp.float32), jnp.float32(scale),

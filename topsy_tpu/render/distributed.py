@@ -73,6 +73,8 @@ class MeshSplatterMixin:
             return False
         splatter = self._get_splatter()
         if not splatter.supports_presorted():
+            splatter._warn_presorted_unavailable(
+                "interactive sort-free column LOD")
             return False
         layout = splatter.presorted_layout
         if layout is None or layout.real_per_column is None:
@@ -130,6 +132,7 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
             return False
         splatter = self._get_splatter()
         if not splatter.supports_presorted():
+            splatter._warn_presorted_unavailable("sort-free EXPORT")
             return False
         if splatter.has_presorted():
             return True

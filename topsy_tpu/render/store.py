@@ -339,7 +339,11 @@ class ParticleStore:
             sl = jnp.asarray(slots[len(slots) - size:], jnp.int32)
             got = jnp.take(self.presorted_values_for(buffer_name), sl,
                            axis=0)
-            cache = self._giant_values = {key: got}
+            # insert (alternating buffer/size lookups must all stay warm);
+            # evict only entries from superseded values versions
+            for k in [k for k in cache if k[2] != self.values_version]:
+                del cache[k]
+            cache[key] = got
         return got
 
     # -- decimation-mip tiers for interactive LOD below the 1/8 floor ----------

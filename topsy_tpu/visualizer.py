@@ -121,6 +121,17 @@ class VisualizerBase:
         return params
 
     def _initialize_sph_and_colormap_and_bar(self, colormap_name=None):
+        # capability check first: a canvas that cannot present the mode's
+        # format must fail the switch here (a real initialization failure,
+        # caught by _update_render_mode's revert — reference parity:
+        # tests/test_render_mode.py:42-67, HDR on an rgba-u8-only canvas)
+        fmt = self.canvas_format
+        supported = self.canvas.supported_formats()
+        if fmt not in supported:
+            raise ValueError(
+                f"canvas {type(self.canvas).__name__} cannot present "
+                f"{fmt!r} (supports {supported}); render mode "
+                f"{self._render_mode!r} unavailable")
         if self._sph is not None:
             old_rotation = self._sph.rotation_matrix
             old_position = self._sph.position_offset
@@ -437,14 +448,14 @@ class VisualizerBase:
             np.save(filename, self.get_sph_image())
             return
         if filename.endswith((".tif", ".tiff")):
+            image = np.asarray(self.get_sph_presentation_image())[..., :3]
             try:
                 import tifffile
-            except ImportError as exc:  # not bundled in every environment
-                raise RuntimeError(
-                    "saving .tiff requires the tifffile package") from exc
-            image = np.asarray(self.get_sph_presentation_image())[..., :3]
-            tifffile.imwrite(filename, image.astype(np.float16),
-                             photometric="rgb")
+                tifffile.imwrite(filename, image.astype(np.float16),
+                                 photometric="rgb")
+            except ImportError:  # vendored fallback (topsy_tpu/hdr_tiff.py)
+                from . import hdr_tiff
+                hdr_tiff.imwrite(filename, image.astype(np.float16))
             logger.info("Saved %s", filename)
             return
         import matplotlib.pyplot as p
