@@ -75,6 +75,15 @@ SPLAT_WINDOW = 16
 SPLAT_PYRAMID_LEVELS = 7
 # levels 0..6 -> level L resolution = resolution / 2^L (coarsest 16px).
 
+PYRAMID_COLLAPSE_FILTER = "spline"
+# reconstruction filter for the density pyramid collapse
+# (ops/composite._upsample2x_matrix): 'spline' (interpolating cubic spline,
+# B-spline prefilter folded into the matmul — fourth-order), 'catmull'
+# (Catmull-Rom, third-order), 'linear'.  Same run-time cost for all three
+# (one precomputed (n, 2n) matmul per axis); 'spline' halves the measured
+# coarse-level reconstruction bias vs the exact evaluator
+# (benchmarks/pyramid_bias.py).
+
 SPLAT_BAND_ROWS = 8
 # rows per sort band; group output windows are aligned to this (the group
 # sizes and window shapes themselves live in ops/splat_atlas.py /

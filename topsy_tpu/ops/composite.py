@@ -12,6 +12,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def upsample2x_linear(x: jnp.ndarray) -> jnp.ndarray:
@@ -43,15 +44,34 @@ def _catmull_weight(t: float) -> float:
     return 0.0
 
 
+def _bspline3(t: np.ndarray) -> np.ndarray:
+    """Cubic B-spline basis (support |t| < 2, partition of unity)."""
+    t = np.abs(t)
+    return np.where(
+        t < 1.0, 2.0 / 3.0 - t**2 + 0.5 * t**3,
+        np.where(t < 2.0, (2.0 - t) ** 3 / 6.0, 0.0))
+
+
 @functools.lru_cache(maxsize=32)
 def _upsample2x_matrix(n: int, kind: str = "linear"):
     """(n, 2n) interpolation matrix: y = x @ M upsamples the last axis with
-    half-pixel-centre sampling and edge clamp.  ``kind`` 'linear' (out[2k] =
-    0.75 in[k] + 0.25 in[k-1], out[2k+1] = 0.75 in[k] + 0.25 in[k+1]) or
-    'catmull' (4-tap Catmull-Rom; third-order accurate, which the density
-    pyramid collapse needs — bilinear's diffusion of coarse-level splats is
-    a measured ~5% ring error against the reference's full-resolution
-    rasterization, Catmull-Rom brings it under 0.5%)."""
+    half-pixel-centre sampling and edge clamp.  ``kind``:
+
+    * 'linear': out[2k] = 0.75 in[k] + 0.25 in[k-1], out[2k+1] = 0.75 in[k]
+      + 0.25 in[k+1];
+    * 'catmull': 4-tap Catmull-Rom — third-order accurate, which the density
+      pyramid collapse needs (bilinear's diffusion of coarse-level splats is
+      a measured ~5% ring error against the reference's full-resolution
+      rasterization; Catmull-Rom brings it under 0.5%);
+    * 'spline': interpolating cubic spline — the cubic B-spline prefilter
+      (collocation-matrix inverse) folded into the same (n, 2n) matmul, so
+      it costs exactly what Catmull-Rom does at run time.  Exact at the
+      coarse sample points and fourth-order between them (vs Catmull-Rom's
+      third), which halves the pyramid-collapse reconstruction bias against
+      the exact evaluator (benchmarks/pyramid_bias.py).
+
+    All kinds preserve constants (rows of M sum to 2 in the interior), so
+    the collapse conserves deposited mass up to edge clamping."""
     import numpy as np
     m = np.zeros((n, 2 * n), dtype=np.float32)
     if kind == "linear":
@@ -60,6 +80,22 @@ def _upsample2x_matrix(n: int, kind: str = "linear"):
         m[np.maximum(k - 1, 0), 2 * k] += 0.25
         m[k, 2 * k + 1] += 0.75
         m[np.minimum(k + 1, n - 1), 2 * k + 1] += 0.25
+    elif kind == "spline":
+        if n < 2:
+            m[:, :] = 1.0
+            return m
+        # collocation: f[r] = sum_k c[k] B3(r - k), basis clamped at edges
+        # (out-of-range k lumped onto the edge sample, like the other kinds)
+        r = np.arange(n)
+        a = np.zeros((n, n))
+        for k in range(-1, n + 1):
+            a[:, min(max(k, 0), n - 1)] += _bspline3(r - k)
+        # evaluation of the spline at fine half-pixel centres j/2 - 0.25
+        xc = np.arange(2 * n) / 2.0 - 0.25
+        e = np.zeros((n, 2 * n))
+        for k in range(-1, n + 1):
+            e[min(max(k, 0), n - 1), :] += _bspline3(xc - k)
+        m[:, :] = np.linalg.solve(a.T, e)
     else:
         for j in range(2 * n):
             xc = j / 2.0 - 0.25  # coarse-grid coordinate of fine centre j
@@ -87,28 +123,72 @@ def upsample2x_linear_cm(x: jnp.ndarray) -> jnp.ndarray:
                       preferred_element_type=jnp.float32)
 
 
-def upsample2x_catmull(x: jnp.ndarray) -> jnp.ndarray:
-    """2x Catmull-Rom upsample over the two leading axes of (H, W, C).
+def upsample2x_kind(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """2x upsample over the two leading axes of (H, W, C) with the given
+    reconstruction filter (see _upsample2x_matrix).
 
-    The density-pyramid companion of :func:`upsample2x_linear`: third-order
-    reconstruction so coarse-level splat deposits keep their kernel shape
-    (see _upsample2x_matrix).  Small negative overshoots near sharp edges
-    are possible (as with any interpolation above first order); the density
-    channels tolerate them exactly as they tolerate zeros."""
+    The density-pyramid reconstruction: above-first-order filters keep
+    coarse-level splat deposits close to their kernel shape.  Small negative
+    overshoots near sharp edges are possible (as with any interpolation
+    above first order); the density channels tolerate them exactly as they
+    tolerate zeros."""
     H, W = x.shape[0], x.shape[1]
-    t = jnp.einsum("hw...,hH->Hw...", x, _upsample2x_matrix(H, "catmull"),
+    t = jnp.einsum("hw...,hH->Hw...", x, _upsample2x_matrix(H, kind),
                    preferred_element_type=jnp.float32)
-    return jnp.einsum("Hw...,wW->HW...", t, _upsample2x_matrix(W, "catmull"),
+    return jnp.einsum("Hw...,wW->HW...", t, _upsample2x_matrix(W, kind),
+                      preferred_element_type=jnp.float32)
+
+
+def upsample2x_catmull(x: jnp.ndarray) -> jnp.ndarray:
+    """2x Catmull-Rom upsample over the two leading axes of (H, W, C)."""
+    return upsample2x_kind(x, "catmull")
+
+
+def upsample2x_kind_cm(x: jnp.ndarray, kind: str) -> jnp.ndarray:
+    """2x upsample over the two trailing axes of (C, H, W)."""
+    C, H, W = x.shape
+    t = jnp.einsum("chw,hH->cHw", x, _upsample2x_matrix(H, kind),
+                   preferred_element_type=jnp.float32)
+    return jnp.einsum("cHw,wW->cHW", t, _upsample2x_matrix(W, kind),
                       preferred_element_type=jnp.float32)
 
 
 def upsample2x_catmull_cm(x: jnp.ndarray) -> jnp.ndarray:
     """2x Catmull-Rom upsample over the two trailing axes of (C, H, W)."""
-    C, H, W = x.shape
-    t = jnp.einsum("chw,hH->cHw", x, _upsample2x_matrix(H, "catmull"),
-                   preferred_element_type=jnp.float32)
-    return jnp.einsum("cHw,wW->cHW", t, _upsample2x_matrix(W, "catmull"),
-                      preferred_element_type=jnp.float32)
+    return upsample2x_kind_cm(x, "catmull")
+
+
+def upsample2x_zmax_cm(dv: jnp.ndarray) -> jnp.ndarray:
+    """Coverage-normalized 2x bilinear upsample of a (2=[depth, payload], H,
+    W) z-buffer level (trailing axes; depth > 0 means covered).
+
+    Raw bilinear interpolation of a z-level mixes covered depths with the
+    empty background (depth 0), which both drags silhouette depths toward
+    zero and leaks faint nonzero depth up to a coarse pixel beyond the true
+    footprint.  Instead interpolate (depth·cov, payload·cov, cov) and
+    normalize by the interpolated coverage; a fine pixel is covered iff the
+    coverage weight exceeds 0.5 (majority vote — the silhouette lands
+    within half a coarse pixel of the true edge instead of bleeding
+    outward).
+
+    The payload is NOT interpolated: blending the quantities of adjacent
+    winning fragments would display a value no particle has (the reference
+    shows the winner's quantity verbatim, and quantities can oscillate on
+    sub-footprint scales).  Each fine pixel takes its nearest coarse
+    pixel's payload, falling back to the coverage-weighted average only
+    when the nearest coarse pixel is empty (diagonal silhouette corners)."""
+    depth, val = dv[0], dv[1]
+    cov = (depth > 0.0).astype(depth.dtype)
+    packed = jnp.stack([depth * cov, val * cov, cov], axis=0)
+    up = upsample2x_kind_cm(packed, "linear")
+    covf = up[2]
+    valid = covf > 0.5
+    inv = 1.0 / jnp.maximum(covf, 1e-20)
+    near_v = jnp.repeat(jnp.repeat(val, 2, axis=0), 2, axis=1)
+    near_cov = jnp.repeat(jnp.repeat(cov, 2, axis=0), 2, axis=1) > 0.0
+    payload = jnp.where(near_cov, near_v, up[1] * inv)
+    return jnp.stack([jnp.where(valid, up[0] * inv, 0.0),
+                      jnp.where(valid, payload, 0.0)], axis=0)
 
 
 def _integer_shift(im: jnp.ndarray, iy: jnp.ndarray, ix: jnp.ndarray) -> jnp.ndarray:

@@ -376,10 +376,10 @@ def collapse_pyramid(flat_buffer: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndar
 
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_catmull
+        from .composite import upsample2x_kind
         target = pyramid.level_resolutions[l]
-        up = upsample2x_catmull(out)[:target, :target]
-        out = levels[l] + up
+        up = upsample2x_kind(out, config.PYRAMID_COLLAPSE_FILTER)
+        out = levels[l] + up[:target, :target]
     return out
 
 

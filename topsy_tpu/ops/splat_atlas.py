@@ -776,8 +776,8 @@ def collapse_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec) -> jnp.ndarray:
         levels.append(atlas[:, r0:r0 + res_l, COL_PAD:COL_PAD + res_l])
     out = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_catmull_cm
+        from .composite import upsample2x_kind_cm
         target = pyramid.level_resolutions[l]
-        up = upsample2x_catmull_cm(out)[:, :target, :target]
-        out = levels[l] + up
+        up = upsample2x_kind_cm(out, config.PYRAMID_COLLAPSE_FILTER)
+        out = levels[l] + up[:, :target, :target]
     return out.transpose(1, 2, 0)

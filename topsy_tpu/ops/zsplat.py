@@ -126,11 +126,13 @@ def _collapse_max(dbuf, vbuf, pyramid: PyramidSpec):
 
     dout, vout = levels[-1]
     for l in range(pyramid.num_levels - 2, -1, -1):
-        from .composite import upsample2x_linear
+        # coverage-normalized upsample: raw bilinear would bleed silhouettes
+        # into the background (see zsplat_atlas.collapse_max_atlas)
+        from .composite import upsample2x_zmax_cm
         target = pyramid.level_resolutions[l]
-        dv = upsample2x_linear(jnp.stack([dout, vout], axis=-1))
-        dup = dv[:target, :target, 0]
-        vup = dv[:target, :target, 1]
+        dv = upsample2x_zmax_cm(jnp.stack([dout, vout], axis=0))
+        dup = dv[0, :target, :target]
+        vup = dv[1, :target, :target]
         dfine, vfine = levels[l]
         front = dfine >= dup
         dout = jnp.where(front, dfine, dup)

@@ -263,19 +263,25 @@ def collapse_max_atlas(atlas: jnp.ndarray, pyramid: PyramidSpec):
     """Max-composite the channel-major (2=[depth, value], rows, cols) atlas
     pyramid into a (res, res, 2) [value, depth] image (the zsplat contract).
 
-    Coarse levels are bilinearly upsampled and lose against finer content
-    only where the finer fragment is in front — the occlusion analogue of
-    the additive collapse (same rule as zsplat._collapse_max)."""
+    Coarse levels are upsampled with coverage-normalized bilinear filtering
+    (ops/composite.upsample2x_zmax_cm): interpolating (depth, value)
+    directly would smear silhouettes into the empty background — a raw
+    bilinear collapse measured up to 2^level fine pixels of spurious faint
+    coverage beyond the true footprint, which the reference's rasterizer
+    (exact fragments at full resolution) never produces.  Upsampled coarse
+    content loses against finer content only where the finer fragment is in
+    front — the occlusion analogue of the additive collapse (same rule as
+    zsplat._collapse_max)."""
+    from .composite import upsample2x_zmax_cm
     row_offs, _, _ = atlas_layout(pyramid)
     levels = []
     for l, res_l in enumerate(pyramid.level_resolutions):
         r0 = row_offs[l]
         levels.append(atlas[:, r0:r0 + res_l, COL_PAD:COL_PAD + res_l])
     out = levels[-1]
-    from .composite import upsample2x_linear_cm
     for l in range(pyramid.num_levels - 2, -1, -1):
         target = pyramid.level_resolutions[l]
-        up = upsample2x_linear_cm(out)[:, :target, :target]
+        up = upsample2x_zmax_cm(out)[:, :target, :target]
         fine = levels[l]
         front = fine[0] >= up[0]
         out = jnp.where(front[None], fine, up)

@@ -49,7 +49,12 @@ class MeshSplatterMixin:
                     qty = np.zeros_like(mass)
                 else:
                     qty = loader.get_named_quantity(qname).astype(np.float32)
-                values = np.stack([mass, mass * qty], axis=1)
+                if self._buffer_name == "surface_values":
+                    # z-buffer winners display the raw quantity (see
+                    # render/surface.py SurfaceSPHRenderer._buffer_name)
+                    values = np.stack([mass, qty], axis=1)
+                else:
+                    values = np.stack([mass, mass * qty], axis=1)
             cell_ids = loader.get_cell_ids()
             self._splatter = DistributedSplatter(
                 self._mesh, pos_smooth, values, self._resolution,

@@ -136,6 +136,7 @@ class ParticleStore:
             mq = np.stack([self._mass, self._mass * qty], axis=1)
             self.mass_and_quantity = self._put(self._pad(mq))
         self._quantity_name = name
+        self._surface_values = None
         self.values_version += 1
         logger.info("Rebuilt quantity channel buffer for %r", name)
 
@@ -149,9 +150,36 @@ class ParticleStore:
     def values_for(self, buffer_name: str):
         if buffer_name == "mass_and_quantity":
             return self.mass_and_quantity
+        if buffer_name == "surface_values":
+            return self.surface_values
         if buffer_name == "rgb":
             return self.rgb
         raise KeyError(buffer_name)
+
+    @property
+    def surface_values(self):
+        """(mass, raw quantity) channels for the z-buffered surface mode.
+
+        The surface winner displays the particle's quantity itself
+        (reference: shaders/sph.wgsl vertex_depth_with_cut forwards
+        input.quantities.y untouched), unlike the additive modes' weighted
+        (mass, mass*quantity) — built lazily, invalidated on quantity
+        switch."""
+        if getattr(self, "_surface_values", None) is None:
+            name = self._quantity_name
+            if self._mass_dev is not None:
+                m = self._mass_dev
+                q = (jnp.zeros_like(m) if name is None
+                     else self._pad_dev(jnp.asarray(
+                         self._dev_quantities[name], jnp.float32)))
+                self._surface_values = jnp.stack([m, q], axis=1)
+            else:
+                m = self._pad(self._mass)
+                q = (np.zeros_like(m) if name is None
+                     else self._pad(self._loader.get_named_quantity(name)
+                                    .astype(np.float32)))
+                self._surface_values = self._put(np.stack([m, q], axis=1))
+        return self._surface_values
 
     # -- presorted (bucket, Morton) copies for sort-free full renders ----------
 

@@ -104,7 +104,9 @@ def _max_composite(a, b):
 class SurfaceSPHRenderer(SPHRenderer):
     """Front-most surface renderer with density cut."""
 
-    _buffer_name = "mass_and_quantity"
+    _buffer_name = "surface_values"  # (mass, RAW quantity): the z-buffer
+    # winner displays the quantity itself (reference: sph.wgsl
+    # vertex_depth_with_cut), not the additive modes' mass-weighted channel
     _rho_percentiles_num_samples = 101
 
     def __init__(self, store: ParticleStore, render_progression,
