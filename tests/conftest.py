@@ -16,3 +16,29 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent compile cache for the suite (same cache bench.py uses; entries
+# are keyed by backend so CPU test programs and TPU bench programs coexist).
+# Cuts repeat-run wall time several-fold: cached executables deserialize
+# instead of re-invoking the XLA CPU compiler.
+from topsy_tpu.util import enable_persistent_compile_cache  # noqa: E402
+
+enable_persistent_compile_cache()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_accumulated_jit_state():
+    """Drop compiled executables after every test module.
+
+    The XLA CPU compiler has segfaulted (upstream) compiling large zsplat
+    programs ~2 h into a full-suite session — always a big compile late in
+    the run, always passing in isolation, i.e. dependent on the hundreds of
+    executables already resident in the process.  Releasing them per module
+    bounds that accumulation; with the persistent disk cache above, any
+    program a later module needs again reloads in milliseconds instead of
+    recompiling."""
+    yield
+    import jax
+    jax.clear_caches()

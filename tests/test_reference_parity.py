@@ -54,6 +54,18 @@ def vis(request):
     return v
 
 
+@pytest.fixture(scope="module")
+def surface_vis():
+    """The reference's surface scene (test_render_output.py:451-456),
+    rendered once and shared by the raw and presentation surface tests."""
+    v = _vis(n=int(1e5), render_mode="surface")
+    v.quantity_name = "test-quantity"
+    v.scale = 30.0
+    v.rotate(0.0, 1.0)
+    v.render_sph(DrawReason.EXPORT)
+    return v
+
+
 def test_density_vs_reference(vis):
     """reference: tests/test_render_output.py:199-241 (test_sph_output)."""
     vis.render_sph(DrawReason.EXPORT)
@@ -203,7 +215,7 @@ def test_bivariate_rgba_vs_reference():
     npt.assert_allclose(got, expect, atol=5)
 
 
-def test_surface_vs_reference():
+def test_surface_vs_reference(surface_vis):
     """reference: tests/test_render_output.py:451-518 (test_surface_render).
 
     The reference's rtol=1e-3 on both raw channels holds only between
@@ -230,12 +242,7 @@ def test_surface_vs_reference():
       the remainder are genuine winner flips, the effect the reference's
       own avoid_mask[67] acknowledges).
     """
-    vis = _vis(n=int(1e5), render_mode="surface")
-    vis.quantity_name = "test-quantity"
-    vis.scale = 30.0
-    vis.rotate(0.0, 1.0)
-    vis.render_sph(DrawReason.EXPORT)
-    result = np.asarray(vis.get_sph_image())
+    result = np.asarray(surface_vis.get_sph_image())
     assert result.shape == (200, 200, 2)
     depth = result[::20, ::20, 1].ravel()
     qty = result[::20, ::20, 0].ravel()
@@ -258,19 +265,14 @@ def test_surface_vs_reference():
         f"winner quantities match at only {ok_qty.sum()}/{both.sum()}"
 
 
-def test_surface_presentation_vs_reference():
+def test_surface_presentation_vs_reference(surface_vis):
     """reference: tests/test_render_output.py:521-556: bilateral filter +
     lighting presentation, at the reference's own (self-described 'very
     loose') atol=30 — met on >= 97% of sampled elements; the remainder
     (measured: 8/400, all adjacent to the winner-flip pixels of
     test_surface_vs_reference, where a different material color meets a
     different normal) bounded at 150/255."""
-    vis = _vis(n=int(1e5), render_mode="surface")
-    vis.quantity_name = "test-quantity"
-    vis.scale = 30.0
-    vis.rotate(0.0, 1.0)
-    vis.render_sph(DrawReason.EXPORT)
-    pres = np.asarray(vis.get_sph_presentation_image())
+    pres = np.asarray(surface_vis.get_sph_presentation_image())
     assert pres.shape == (200, 200, 4)
     expect = EXPECTED["test_surface_render.presentation_expectation"]
     got = pres[::20, ::20].ravel().astype(np.int32)

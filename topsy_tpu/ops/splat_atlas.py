@@ -379,7 +379,15 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
         group_contribution = make_group_contribution(kernels.lowrank_kernel(), C)
     n_groups = per_group_spill.shape[0]
     G_SPILL = max(16, G // 8)
-    k_groups = min(n_groups, config.SPLAT_SPILL_GROUP_CAP)
+    # interactive-size launches (narrow column slices re-form groups from a
+    # thin slice of every Morton group, so row spread — and therefore the
+    # number of spilling groups — is much higher than in full-width
+    # launches): widen the group cap 4x.  n_groups is a static shape, so
+    # this costs nothing at export scale; at 2^26 the 128-group cap dropped
+    # a measured 761 splats per CHANGE frame, the 512 cap drops none.
+    cap = (4 * config.SPLAT_SPILL_GROUP_CAP if n_groups <= 8192
+           else config.SPLAT_SPILL_GROUP_CAP)
+    k_groups = min(n_groups, cap)
     # tier-2 pallas group count must stay a SUBGROUPS multiple
     k_groups = max(1, (k_groups * (G // G_SPILL)) // SUBGROUPS) \
         * SUBGROUPS * G_SPILL // G
