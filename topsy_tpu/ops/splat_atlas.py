@@ -570,7 +570,8 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
                        group_buckets, mask=None,
                        pyramid: PyramidSpec | None = None,
                        depth_channel=False, piece=None, prange=None,
-                       engine: str | None = None, giants="auto"):
+                       engine: str | None = None, giants="auto",
+                       _stop_after: str | None = None):
     """The fastest presorted splat path: fused Pallas front-end + kernel.
 
     Same image contract as ``splat_atlas(..., presorted_buckets=...)`` but
@@ -595,6 +596,9 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
     'none' (truncated deposit), or a smoothing-bucket threshold: giants in
     buckets >= it are excluded from the windowed deposit and the caller
     adds one dense full-support layer per frame (render/sph._giant_layer).
+    _stop_after: profiling aid (like splat_atlas's): truncate after
+    'feed' / 'kernel' / 'spill' and return the partial result — NOT the
+    normal contract.
 
     Returns (image (res, res, C), spilled_dropped count).
     """
@@ -701,11 +705,15 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
         foot=float(FOOT), piece_groups=piece_groups, ranged=ranged,
         has_mask=mask is not None, interpret=interpret,
         sentinel_ay=sentinel_ay)
+    if _stop_after == "feed":
+        return ay, jnp.int32(0)
 
     atlas = splat_pallas.accumulate_groups_pallas(
         ay, ax, ih, cfit, w0, c0, ce, flags, atlas_rows=atlas_rows,
         atlas_cols=atlas_cols, C=C, group=G, interpret=interpret,
         window_rows=window_rows)
+    if _stop_after == "kernel":
+        return atlas, jnp.int32(0)
 
     # NOTE: no extra cond around spill_pass — it guards itself, and nesting
     # a second conditional around the side-effecting pallas calls costs a
@@ -720,6 +728,8 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
         spilled, nspill, nspill.sum(), C=C, G=G, engine=engine,
         atlas_rows=atlas_rows, atlas_cols=atlas_cols,
         window_rows=window_rows)
+    if _stop_after == "spill":
+        return atlas, dropped
     image = collapse_atlas(atlas, pyramid)
     if giant_args is not None:
         image = image + splat_giant.giant_image(*giant_args, resolution)
