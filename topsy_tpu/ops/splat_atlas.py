@@ -357,7 +357,8 @@ def splat_atlas(pos_smooth, values, matrix, resolution, scale,
 
 def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
                n_spill, *, C, G, engine, atlas_rows, atlas_cols,
-               window_rows, group_contribution=None):
+               window_rows, group_contribution=None, group_cap=None,
+               t3_cap=None):
     """Deposit spilled particles (too sparse for their group's window).
 
     Re-runs the same windowed machinery with much smaller groups on the
@@ -379,14 +380,13 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
         group_contribution = make_group_contribution(kernels.lowrank_kernel(), C)
     n_groups = per_group_spill.shape[0]
     G_SPILL = max(16, G // 8)
-    # interactive-size launches (narrow column slices re-form groups from a
-    # thin slice of every Morton group, so row spread — and therefore the
-    # number of spilling groups — is much higher than in full-width
-    # launches): widen the group cap 4x.  n_groups is a static shape, so
-    # this costs nothing at export scale; at 2^26 the 128-group cap dropped
-    # a measured 761 splats per CHANGE frame, the 512 cap drops none.
-    cap = (4 * config.SPLAT_SPILL_GROUP_CAP if n_groups <= 8192
-           else config.SPLAT_SPILL_GROUP_CAP)
+    # ``group_cap`` overrides the default spill budget: the interactive
+    # column path raises it 4x (whole-tier CHANGE frames put every group
+    # of a decimation tier in one launch, where the 128-group cap dropped
+    # a measured ~400-800 splats/frame at 2^26-2^27); EXPORT keeps the
+    # default — its piece launches spill far less per group and pay the
+    # spill pass on every piece.
+    cap = config.SPLAT_SPILL_GROUP_CAP if group_cap is None else group_cap
     k_groups = min(n_groups, cap)
     # tier-2 pallas group count must stay a SUBGROUPS multiple
     k_groups = max(1, (k_groups * (G // G_SPILL)) // SUBGROUPS) \
@@ -395,6 +395,14 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
 
     def do_spill(atlas):
         _, top_idx = jax.lax.top_k(per_group_spill, k_groups)
+        # layout order, not spill-count order: gathered groups keep their
+        # Morton adjacency, so consecutive spill subgroups share the DMA
+        # band instead of re-anchoring (and flushing + reloading the
+        # full-width window scratch) at nearly every subgroup — measured
+        # ~18 ms -> ~4 ms on the 2^26 narrow-column launch.  A k_groups-
+        # element index sort, NOT the 65K-row payload sort the NOTE below
+        # rejects.
+        top_idx = jnp.sort(top_idx)
 
         def gather(arr):
             return jnp.take(arr.reshape(n_groups, G, -1), top_idx,
@@ -478,9 +486,20 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
                  s_coef_fit.reshape(n_sg, G_SPILL, C), sw0))
 
         # ---- final tier: per-particle windows (fit by construction) -------
-        T3 = min(1024, spill_cap)
+        # t3_cap: the interactive column path raises the straggler budget —
+        # decimation-tier groups cover 8x the volume of main-layout groups,
+        # so a few of them span several windows and spill wholesale
+        # (measured at 2^26: 132 spilling groups, ~1800 stragglers — T3 at
+        # the default 1024 dropped ~760 splats per whole-tier CHANGE frame)
+        T3 = min(1024 if t3_cap is None else t3_cap, spill_cap)
 
-        if engine == "pallas" and n_groups >= TIER3_PALLAS_MIN_GROUPS:
+        if engine == "pallas" and (n_groups >= TIER3_PALLAS_MIN_GROUPS
+                                   or t3_cap is not None):
+            # t3_cap set (the interactive column path): always the
+            # unconditional group=1 pallas tier — the cond-scan alternative
+            # below costs ~150 us per scan step on HBM read-modify-writes
+            # (a measured 700 ms at t3_cap=4096 on the 2^27 deepest tier,
+            # vs ~3 ms for the pallas pass)
             # big launches: shuffled spill subgroups routinely span > 96
             # rows, so tier 3 fires (~1000 stragglers at 2^24) and BOTH of
             # the conditional encodings are slow — a cond around the scan
@@ -510,8 +529,14 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
             tc0 = jnp.clip((ce_raw // COL_ALIGN) * COL_ALIGN, 0,
                            atlas_cols - WINDOW_COLS)
             tce = jnp.clip(ce_raw, tc0, tc0 + WINDOW_COLS - PROFILE_COLS)
+            # one-particle groups always fit size class 1 (32 x 64): span
+            # <= 2*FOOT + 8 rows from the 8-aligned anchor, <= 17 cols from
+            # ce — full-window eval per straggler costs ~6x the VMEM
+            # read-modify-write for nothing
+            t_sizes = jnp.ones((T3,), jnp.int32)
             tflags = splat_pallas.group_flags(
-                t_ih.reshape(T3, 1), t_coef.reshape(T3, 1, C), H_MAX)
+                t_ih.reshape(T3, 1), t_coef.reshape(T3, 1, C), H_MAX,
+                sizes=t_sizes)
             atlas = splat_pallas.accumulate_groups_pallas(
                 t_ay.reshape(T3, 1, 1), t_ax.reshape(T3, 1, 1),
                 t_ih.reshape(T3, 1, 1),
@@ -571,6 +596,9 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
                        pyramid: PyramidSpec | None = None,
                        depth_channel=False, piece=None, prange=None,
                        engine: str | None = None, giants="auto",
+                       subgroups: int | None = None,
+                       spill_group_cap: int | None = None,
+                       spill_t3_cap: int | None = None,
                        _stop_after: str | None = None):
     """The fastest presorted splat path: fused Pallas front-end + kernel.
 
@@ -711,7 +739,9 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
     atlas = splat_pallas.accumulate_groups_pallas(
         ay, ax, ih, cfit, w0, c0, ce, flags, atlas_rows=atlas_rows,
         atlas_cols=atlas_cols, C=C, group=G, interpret=interpret,
-        window_rows=window_rows)
+        window_rows=window_rows,
+        subgroups=(splat_pallas.SUBGROUPS if subgroups is None
+                   else subgroups))
     if _stop_after == "kernel":
         return atlas, jnp.int32(0)
 
@@ -727,7 +757,8 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
         atlas, ay.reshape(-1), ax.reshape(-1), ih.reshape(-1), chans,
         spilled, nspill, nspill.sum(), C=C, G=G, engine=engine,
         atlas_rows=atlas_rows, atlas_cols=atlas_cols,
-        window_rows=window_rows)
+        window_rows=window_rows, group_cap=spill_group_cap,
+        t3_cap=spill_t3_cap)
     if _stop_after == "spill":
         return atlas, dropped
     image = collapse_atlas(atlas, pyramid)
@@ -737,38 +768,57 @@ def splat_atlas_fields(fields, values_cm, matrix, resolution, scale,
 
 
 def slice_column_fields(fields, values_cm, group_buckets, mask, col0,
-                        width: int):
-    """Slice columns [col0, col0+width) of the transposed field layout and
-    merge into pad_group-particle groups for ``splat_atlas_fields``.
+                        width: int, merge: bool = True,
+                        pad_multiple: int = 8):
+    """Slice columns [col0, col0+width) of the transposed field layout for
+    ``splat_atlas_fields``.
 
-    A width-w slice of the (n_groups, pad_group) matrices reshapes
-    row-major into merged groups of pad_group/w adjacent original groups —
-    the legacy column-merge semantics (render/sph._render_block_columns);
-    the layout's run padding keeps merged groups single-level
-    (ops/morton.min_slice_width).  Merged groups are padded to a SUBGROUPS
-    multiple with inactive rows.  Returns (fields, values_cm,
-    group_buckets, mask) ready for splat_atlas_fields."""
+    ``merge=True`` (legacy semantics, render/sph._render_block_columns): a
+    width-w slice of the (n_groups, pad_group) matrices reshapes row-major
+    into merged groups of pad_group/w adjacent original groups; the
+    layout's run padding keeps merged groups single-level
+    (ops/morton.min_slice_width).  Merged groups span the union of their
+    constituents' footprints, so narrow widths push many of them past the
+    deposit window into the (expensive) spill tiers.
+
+    ``merge=False``: keep one group per original group — (n_groups, width)
+    matrices whose window spans stay as tight as the full-width render's.
+    The caller should raise ``splat_atlas_fields(subgroups=...)``
+    proportionally (pad_group/width * SUBGROUPS) so the per-grid-step
+    pipeline latency amortizes over the same particle count per step.
+
+    Groups are padded to a ``pad_multiple`` row multiple with inactive
+    rows.  Returns (fields, values_cm, group_buckets, mask)."""
     from .morton import PAD_POS
     ng, pad_group = fields[0].shape
-    assert pad_group % width == 0
+    assert merge is False or pad_group % width == 0
+    assert width <= pad_group
     c0 = jnp.clip(col0, 0, pad_group - width)
     if width != pad_group:
-        m = pad_group // width
+        if merge:
+            m = pad_group // width
 
-        def slice_cols(arr):
-            s = jax.lax.dynamic_slice(arr, (0, c0), (ng, width))
-            return s.reshape(-1, pad_group)
+            def slice_cols(arr):
+                s = jax.lax.dynamic_slice(arr, (0, c0), (ng, width))
+                return s.reshape(-1, pad_group)
+
+            group_buckets = group_buckets.reshape(-1, m)[:, 0]
+        else:
+            # any width works un-merged (no reshape): the renderer uses
+            # this to cover a whole remaining column range in ONE launch
+            def slice_cols(arr):
+                return jax.lax.dynamic_slice(arr, (0, c0), (ng, width))
 
         fields = tuple(slice_cols(f) for f in fields)
         values_cm = tuple(slice_cols(v) for v in values_cm)
-        group_buckets = group_buckets.reshape(-1, m)[:, 0]
         mask = None if mask is None else slice_cols(mask)
+    g_cols = fields[0].shape[1]
     mg = fields[0].shape[0]
-    pad_rows = (-mg) % 8
+    pad_rows = (-mg) % pad_multiple
     if pad_rows:
         def pad(arr, fill):
             return jnp.concatenate(
-                [arr, jnp.full((pad_rows, pad_group), fill, arr.dtype)])
+                [arr, jnp.full((pad_rows, g_cols), fill, arr.dtype)])
 
         fields = tuple(pad(f, PAD_POS) for f in fields)
         values_cm = tuple(pad(v, 0.0) for v in values_cm)

@@ -232,7 +232,7 @@ def _group_body(win_ref, lrk, C: int, foot: float, window_rows: int,
 
 def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                  window_cols: int, profile_cols: int, window_rows: int,
-                 band_rows: int):
+                 band_rows: int, subgroups: int = SUBGROUPS):
     rolled = profile_cols != window_cols
 
     def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, fr_ref, ay_ref, ax_ref,
@@ -264,8 +264,8 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
             dma.start()
             dma.wait()
 
-        for s in range(SUBGROUPS):
-            ig = g * SUBGROUPS + s
+        for s in range(subgroups):
+            ig = g * subgroups + s
             wb = pl.multiple_of(wb_ref[ig], 8)
             w0 = pl.multiple_of(w0_ref[ig], 8)
             c0 = pl.multiple_of(c0_ref[ig], COL_ALIGN)
@@ -297,7 +297,7 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
                         ay_ref[0, s][None, :], ax_ref[0, s][None, :],
                         ih_ref[0, s][None, :], coefs, w0, cbase, c0, ro)
 
-            if s == SUBGROUPS - 1:
+            if s == subgroups - 1:
                 @pl.when(g == n_steps - 1)
                 def _(wb=wb, c0=c0):
                     sl = (slice(None), pl.ds(wb, band_rows),
@@ -313,13 +313,14 @@ def _make_kernel(n_steps: int, group: int, C: int, lrk, foot: float,
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "C", "group",
                                     "interpret", "window_cols",
-                                    "window_rows", "fresh_skip"))
+                                    "window_rows", "fresh_skip", "subgroups"))
 def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
                              atlas_rows: int, atlas_cols: int, C: int,
                              group: int, interpret: bool = False,
                              atlas0=None, window_cols: int = WINDOW_COLS,
                              window_rows: int = WINDOW_ROWS,
-                             fresh_skip: bool = FRESH_SKIP):
+                             fresh_skip: bool = FRESH_SKIP,
+                             subgroups: int = SUBGROUPS):
     """Run the fused accumulation.
 
     ay_g/ax_g/ih_g: (n_groups, 1, G); coef_g: (n_groups, C, G), or a
@@ -329,15 +330,15 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
     starts (COL_ALIGN-aligned); ce: (n_groups,) int32 exact column bases with
     ``c0 <= ce <= c0 + window_cols - PROFILE_COLS`` (profiles are evaluated
     over [ce, ce + PROFILE_COLS)); flags: (n_groups,) int32 FLAG_* group
-    classes.  n_groups must be a multiple of SUBGROUPS.  When
+    classes.  n_groups must be a multiple of ``subgroups``.  When
     ``window_cols`` differs from the default, profiles span the whole window
     (no roll) and ``ce`` must equal ``c0`` (the spill pass uses this with
     full-width windows).  Accumulates on top of ``atlas0`` (zeros if None);
     returns the atlas (C, atlas_rows, atlas_cols).
     """
     n_groups = w0.shape[0]
-    assert n_groups % SUBGROUPS == 0, n_groups
-    n_steps = n_groups // SUBGROUPS
+    assert n_groups % subgroups == 0, (n_groups, subgroups)
+    n_steps = n_groups // subgroups
     lrk = kernels.lowrank_kernel()
     from .splat_atlas import FOOT
     profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
@@ -396,22 +397,23 @@ def accumulate_groups_pallas(ay_g, ax_g, ih_g, coef_g, w0, c0, ce, flags, *,
         fresh = jnp.zeros_like(w0)
 
     kernel = _make_kernel(n_steps, group, C, lrk, float(FOOT), window_cols,
-                          profile_cols, window_rows, band_rows)
+                          profile_cols, window_rows, band_rows,
+                          subgroups=subgroups)
 
     # blocks carry SUBGROUPS groups per step; each coef channel rides its
     # own (1, S, G) block (a combined (1, S, C, G) block's (C, G) inner
     # tile triggers a measured ~2.8 us/group Mosaic relayout at C >= 3)
-    ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
-    ax_b = ax_g.reshape(n_steps, SUBGROUPS, group)
-    ih_b = ih_g.reshape(n_steps, SUBGROUPS, group)
+    ay_b = ay_g.reshape(n_steps, subgroups, group)
+    ax_b = ax_g.reshape(n_steps, subgroups, group)
+    ih_b = ih_g.reshape(n_steps, subgroups, group)
     if isinstance(coef_g, (list, tuple)):
-        coef_bs = [cc.reshape(n_steps, SUBGROUPS, group) for cc in coef_g]
+        coef_bs = [cc.reshape(n_steps, subgroups, group) for cc in coef_g]
         assert len(coef_bs) == C
     else:
-        coef_bs = [coef_g[:, c, :].reshape(n_steps, SUBGROUPS, group)
+        coef_bs = [coef_g[:, c, :].reshape(n_steps, subgroups, group)
                    for c in range(C)]
 
-    row_spec = pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0))
+    row_spec = pl.BlockSpec((1, subgroups, group), lambda g, *_: (g, 0, 0))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(n_steps,),

@@ -167,6 +167,9 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
 
     def do_spill(atlas):
         _, top_idx = jax.lax.top_k(per_group_spill, k_groups)
+        # layout order: keep gathered groups Morton-adjacent so spill
+        # subgroups share DMA bands (see splat_atlas.spill_pass)
+        top_idx = jnp.sort(top_idx)
 
         def gather(arr):
             return jnp.take(arr.reshape(n_groups, G, -1), top_idx,

@@ -585,16 +585,27 @@ class DistributedSplatter:
                 mask = args[k][0]
                 k += 1
             matrix, scale, col0, gb_thresh = args[k:k + 4]
+            # non-merged slices + scaled subgroups, as the single-chip
+            # column path (render/sph._render_block_columns_fields): merged
+            # groups' union footprints flooded the spill tiers
+            from ..ops.splat_pallas import SUBGROUPS
+            pad_group = fields[0].shape[1]
+            subgroups = min(64, SUBGROUPS * (pad_group // width))
             sliced, svals, sgb, smask = splat_atlas.slice_column_fields(
-                fields, vals, gb, mask, col0, width)
+                fields, vals, gb, mask, col0, width, merge=False,
+                pad_multiple=subgroups)
             # giant handling per _giant_mode; threshold mode matches the
             # single-chip column path (render/sph._render_block_columns_fields):
             # the render loop's dense layer (_prepare_giants) covers the
             # exact giants
+            from .. import config as _config
             im, dropped = splat_atlas.splat_atlas_fields(
                 sliced, svals, matrix, resolution, scale, sgb, mask=smask,
                 depth_channel=depth_channel,
-                giants="auto" if auto_giants else gb_thresh)
+                giants="auto" if auto_giants else gb_thresh,
+                subgroups=subgroups,
+                spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
+                spill_t3_cap=4096)
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
@@ -607,35 +618,24 @@ class DistributedSplatter:
 
     def _render_columns_fields(self, matrix, scale, col0: int, ncols: int,
                                cell_mask, ps=None, giant_bucket=None):
-        from ..ops.morton import slice_widths
         ps = self._presorted_fields(ps)
-        layout = ps["layout"]
         mask = self._feed_mask(cell_mask, ps)
         base = ps["fields"] + ps["values_cm"] + (ps["gbuckets"],)
         if mask is not None:
             base = base + (mask,)
         auto, gb_thresh = _giant_mode(giant_bucket)
-        total = None
-        dropped = jnp.int32(0)
-        off = 0
-        for width in slice_widths(layout):
-            while ncols - off >= width:
-                key = ("fields", width, mask is not None, auto)
-                step = self._column_steps.get(key)
-                if step is None:
-                    step = self._column_steps[key] = \
-                        self._build_columns_step_fields(width,
-                                                        mask is not None,
-                                                        auto)
-                im, d = step(*base, jnp.asarray(matrix, jnp.float32),
-                             jnp.float32(scale), jnp.int32(col0 + off),
-                             gb_thresh)
-                total = im if total is None else total + im
-                dropped = dropped + d
-                off += width
-        if off != ncols:
-            raise AssertionError(f"unrenderable column range {ncols}")
-        return total, dropped
+        # ONE launch for the whole range: un-merged slices take any width,
+        # and launch cost is flat in width (render/sph.
+        # _render_block_columns_fields) — splitting into power-of-two
+        # pieces multiplies it
+        key = ("fields", ncols, mask is not None, auto)
+        step = self._column_steps.get(key)
+        if step is None:
+            step = self._column_steps[key] = \
+                self._build_columns_step_fields(ncols, mask is not None,
+                                                auto)
+        return step(*base, jnp.asarray(matrix, jnp.float32),
+                    jnp.float32(scale), jnp.int32(col0), gb_thresh)
 
     def _build_presorted_step(self, bucket: int, auto_giants: bool):
         axis = self.axis

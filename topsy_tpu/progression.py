@@ -263,6 +263,24 @@ class RenderProgressionColumns(CellSelectionMixin, RenderProgression):
         most recently returned by get_block."""
         return self._last_block_tier
 
+    def start_frame(self, draw_reason: DrawReason) -> bool:
+        self._frame_blocks = 0
+        return super().start_frame(draw_reason)
+
+    def get_block(self, time_elapsed_in_frame: float):
+        # interactive frames render AT MOST ONE (whole-tier) block: launch
+        # cost is flat in column width (see _block_for_logical_range), so
+        # after a tier completes, the next tier's cost is ITS flat floor —
+        # almost always beyond the remaining frame budget.  The next tier
+        # arrives with the next REFINE frame instead of blowing this one.
+        if (self._reason not in (None, DrawReason.EXPORT)
+                and getattr(self, "_frame_blocks", 0) >= 1):
+            return None
+        block = super().get_block(time_elapsed_in_frame)
+        if block is not None:
+            self._frame_blocks = getattr(self, "_frame_blocks", 0) + 1
+        return block
+
     def _block_for_logical_range(self, start: int, length: int):
         # locate the tier containing `start` (starts always sit on a column
         # boundary: lengths are snapped below and blocks never cross tiers)
@@ -271,12 +289,45 @@ class RenderProgressionColumns(CellSelectionMixin, RenderProgression):
         cum, lo, q = t["cum"], t["col_lo"], t["quantum"]
         s = start - t["start"]
         c0 = int(np.searchsorted(cum, s, side="right")) - 1
-        target = min(s + length, int(cum[-1]))
-        c1 = int(np.searchsorted(cum, target, side="left"))
-        c1 = min(max(c1, c0 + 1), len(cum) - 1)
-        # snap up to the renderer's slice-width quantum (slice widths are
-        # powers of two so each width compiles once)
-        c1 = min(c0 + ((c1 - c0 + q - 1) // q) * q, len(cum) - 1)
+        if self._reason == DrawReason.EXPORT:
+            target = min(s + length, int(cum[-1]))
+            c1 = int(np.searchsorted(cum, target, side="left"))
+            c1 = min(max(c1, c0 + 1), len(cum) - 1)
+            # snap up to the renderer's slice-width quantum (slice widths
+            # are powers of two so each width compiles once)
+            c1 = min(c0 + ((c1 - c0 + q - 1) // q) * q, len(cum) - 1)
+        else:
+            # whole-tier blocks for interactive frames: a column launch
+            # touches every group of its tier regardless of width (window
+            # read-modify-write, profile spans and grid steps are all
+            # per-group), so its cost is flat in width — measured at 2^26:
+            # the full 8.9M-particle tier renders in ~11 ms while ANY
+            # narrower slice of it costs ~20-36 ms (merged groups spill;
+            # non-merged slices still touch every window).  A partial
+            # slice is therefore strictly worse than finishing the tier:
+            # more time for fewer particles.  Tier granularity (8x steps)
+            # replaces width granularity; the photometric scale factor
+            # keeps every partial frame exact, and the deepest tier is
+            # bounded by COLUMN_MIP_FLOOR_TARGET so the mandatory block
+            # stays affordable.
+            if start == 0:
+                # budget-driven tier promotion for the frame's first
+                # block: a mip holds exactly the particles of its
+                # parent's prefix columns, so rendering a PARENT tier
+                # from column 0 covers every deeper tier's logical range
+                # in one launch — same exactly-once particle set, one
+                # flat launch cost.  Pick the largest tier whose full
+                # fair subsample fits the adaptive recommendation; the
+                # flat-cost feedback then promotes/demotes between
+                # frames until the largest affordable tier is stable.
+                for j in range(len(self._tiers) - 1, ti, -1):
+                    tj = self._tiers[j]
+                    full = tj["start"] + int(tj["cum"][-1])
+                    if full <= length:
+                        self._last_block_len = full
+                        self._last_block_tier = j
+                        return ([0], [tj["ncols"]])
+            c1 = len(cum) - 1
         # the base class set _last_block_len to the requested length before
         # dispatching here; correct it to the real count the columns cover
         self._last_block_len = int(cum[c1] - cum[c0])

@@ -153,15 +153,29 @@ def _render_block_columns_fields(fields, values_cm, group_buckets, mask,
     """Column slice [col0, col0+width) through the fused feed kernel — the
     sort-free interactive LOD path with the one-pass front-end.
 
-    The slice/merge semantics live in splat_atlas.slice_column_fields; the
-    precomputed cull mask is sliced alongside — no per-frame table
-    gather."""
+    The slice semantics live in splat_atlas.slice_column_fields; the
+    precomputed cull mask is sliced alongside — no per-frame table gather.
+    Narrow slices are NOT merged into pad_group-particle groups: each
+    original group keeps its own (tight) deposit window, with the kernel's
+    subgroups-per-step raised by the same factor so per-step pipeline
+    latency amortizes over an unchanged particle count.  Merged groups
+    span the union of pad_group/width constituents, which pushed most of
+    them through the spill tiers (a measured ~18 ms/launch at 2^26) and
+    still dropped splats at the spill caps; non-merged slices spill like
+    the full-width render (rare) and run at its per-splat cost."""
     assert pad_group == fields[0].shape[1]
+    from ..ops.splat_pallas import SUBGROUPS
+    subgroups = min(64, SUBGROUPS * (pad_group // width))
     sliced, vals, gb, msk = splat_atlas.slice_column_fields(
-        fields, values_cm, group_buckets, mask, col0, width)
+        fields, values_cm, group_buckets, mask, col0, width, merge=False,
+        pad_multiple=subgroups)
+    from .. import config
     return splat_atlas.splat_atlas_fields(
         sliced, vals, matrix, resolution, scale, gb, mask=msk,
-        depth_channel=depth_channel, giants=giant_bucket)
+        depth_channel=depth_channel, giants=giant_bucket,
+        subgroups=subgroups,
+        spill_group_cap=4 * config.SPLAT_SPILL_GROUP_CAP,
+        spill_t3_cap=4096)
 
 
 @functools.partial(jax.jit,
@@ -514,39 +528,48 @@ class SPHRenderer:
                          tier.values_for(self._buffer_name),
                          tier.buckets,
                          tier.cell_ids if culling else None)
-        off = 0
-        for width in slice_widths(layout):
-            while ncols - off >= width:
-                with self._render_timer:
-                    if use_feed:
-                        im, dropped = _render_block_columns_fields(
-                            *feed_args, matrix, scale,
-                            jnp.int32(col0 + off),
-                            jnp.int32(self._giant_bucket),
-                            resolution=self._resolution, width=width,
-                            depth_channel=self._depth_channel,
-                            pad_group=pad_group)
-                    else:
-                        im, dropped = _render_block_columns(
-                            *flat_args,
-                            self._cell_table if culling else None,
-                            matrix, scale,
-                            jnp.int32(col0 + off),
-                            jnp.int32(self._giant_bucket),
-                            resolution=self._resolution, width=width,
-                            depth_channel=self._depth_channel,
-                            pad_group=pad_group)
-                    self._dropped_splats = dropped
-                    if first_block:
-                        self._image = im
-                        first_block = False
-                    else:
-                        self._image = self._image + im
-                if sync_blocks:
-                    self._render_timer.sync(self._image)
-                off += width
-        if off != ncols:  # progression emits col_quantum multiples
-            raise AssertionError(f"unrenderable column range {ncols}")
+        if use_feed:
+            # un-merged slices take any width: the whole range is ONE
+            # launch (launch cost is flat in width — splitting a range
+            # into power-of-two pieces multiplies it)
+            launches = [(col0, ncols)] if ncols else []
+        else:
+            launches = []
+            off = 0
+            for width in slice_widths(layout):
+                while ncols - off >= width:
+                    launches.append((col0 + off, width))
+                    off += width
+            if off != ncols:  # progression emits col_quantum multiples
+                raise AssertionError(f"unrenderable column range {ncols}")
+        for lc0, width in launches:
+            with self._render_timer:
+                if use_feed:
+                    im, dropped = _render_block_columns_fields(
+                        *feed_args, matrix, scale,
+                        jnp.int32(lc0),
+                        jnp.int32(self._giant_bucket),
+                        resolution=self._resolution, width=width,
+                        depth_channel=self._depth_channel,
+                        pad_group=pad_group)
+                else:
+                    im, dropped = _render_block_columns(
+                        *flat_args,
+                        self._cell_table if culling else None,
+                        matrix, scale,
+                        jnp.int32(lc0),
+                        jnp.int32(self._giant_bucket),
+                        resolution=self._resolution, width=width,
+                        depth_channel=self._depth_channel,
+                        pad_group=pad_group)
+                self._dropped_splats = dropped
+                if first_block:
+                    self._image = im
+                    first_block = False
+                else:
+                    self._image = self._image + im
+            if sync_blocks:
+                self._render_timer.sync(self._image)
         return first_block
 
     def _prepare_giants(self, matrix, scale, keep: bool):
