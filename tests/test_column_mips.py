@@ -202,3 +202,110 @@ def test_distributed_mip_render_matches_export(monkeypatch):
     corr = np.corrcoef(im_cols[..., 0].ravel(),
                        im_export[..., 0].ravel())[0, 1]
     assert corr > 0.9999
+
+
+def _tier_specs():
+    """Synthetic 3-tier chain honouring the mip invariant: each tier's
+    first-quantum columns hold exactly the deeper tiers' reals."""
+    rpc0 = np.full(512, 2, np.int64)            # deepest: 1024 reals
+    rpc1 = np.full(512, 16, np.int64)           # [0,64) holds 1024 = rpc0
+    rpc_main = np.full(512, 100, np.int64)
+    rpc_main[:64] = 128                         # 8192 = rpc0 + rpc1[64:]
+    assert rpc1[:64].sum() == rpc0.sum()
+    assert rpc_main[:64].sum() == rpc0.sum() + rpc1[64:].sum()
+    return rpc0, rpc1, rpc_main
+
+
+def test_whole_tier_blocks_one_per_frame():
+    """Interactive blocks snap to whole tiers (launch cost is flat in
+    column width) and frames render at most one block; REFINE completes
+    one parent tier per frame, exactly once overall."""
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgressionColumns
+    rpc0, rpc1, rpc_main = _tier_specs()
+    prog = RenderProgressionColumns(
+        rpc_main, col_quantum=64,
+        mip_tiers=[(rpc0, 64), (rpc1, 64)], initial_particles=10)
+    total = prog._total
+
+    prog.start_frame(DrawReason.CHANGE)
+    (c0,), (nc,) = prog.get_block(0.0)
+    assert (c0, nc) == (0, 512)                 # whole deepest tier
+    assert prog.last_block_tier == 0
+    assert prog._last_block_len == int(rpc0.sum())
+    prog.end_block(0.005)
+    assert prog.get_block(0.0) is None          # one block per frame
+    scale = prog.end_frame_get_scalefactor()
+    assert scale == pytest.approx(total / rpc0.sum())
+
+    seen = [(0, 0, 512)]
+    while prog.needs_refine():
+        prog.start_frame(DrawReason.REFINE)
+        (c0,), (nc,) = prog.get_block(0.0)
+        seen.append((prog.last_block_tier, c0, nc))
+        prog.end_block(0.005)
+        assert prog.get_block(0.0) is None
+        prog.end_frame_get_scalefactor()
+    # whole-tier refinement: each parent renders its own columns once
+    assert seen == [(0, 0, 512), (1, 64, 448), (2, 64, 448)]
+
+
+def test_budget_promotes_to_parent_tier():
+    """A recommendation covering a parent tier's full fair subsample
+    renders that parent from column 0 (covering the deeper tiers'
+    logical ranges in one launch — a mip holds exactly its parent's
+    prefix columns)."""
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgressionColumns
+    rpc0, rpc1, rpc_main = _tier_specs()
+
+    def make(budget):
+        return RenderProgressionColumns(
+            rpc_main, col_quantum=64,
+            mip_tiers=[(rpc0, 64), (rpc1, 64)], initial_particles=budget)
+
+    # budget covers tier1's full subsample (1024 + 7168 = 8192)
+    prog = make(9000)
+    prog.start_frame(DrawReason.CHANGE)
+    (c0,), (nc,) = prog.get_block(0.0)
+    assert (c0, nc) == (0, 512) and prog.last_block_tier == 1
+    assert prog._last_block_len == 8192
+    prog.end_block(0.005)
+    prog.end_frame_get_scalefactor()
+    # REFINE continues at the main tier — deeper ranges are already covered
+    prog.start_frame(DrawReason.REFINE)
+    assert prog.get_block(0.0)[0] == [64]
+    assert prog.last_block_tier == 2
+
+    # budget >= everything: CHANGE covers the whole snapshot, scale 1
+    prog = make(10**9)
+    prog.start_frame(DrawReason.CHANGE)
+    (c0,), (nc,) = prog.get_block(0.0)
+    assert (c0, nc) == (0, 512) and prog.last_block_tier == 2
+    prog.end_block(0.005)
+    assert prog.end_frame_get_scalefactor() == 1.0
+    assert not prog.needs_refine()
+
+
+def test_export_blocks_keep_quantum_chunking():
+    """EXPORT still chunks by column quanta (piece-loop economics differ:
+    its launches scale with groups, not width)."""
+    from topsy_tpu import config
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgressionColumns
+    rpc0, rpc1, rpc_main = _tier_specs()
+    prog = RenderProgressionColumns(
+        rpc_main, col_quantum=64,
+        mip_tiers=[(rpc0, 64), (rpc1, 64)], initial_particles=10)
+    covered = 0
+    prog.start_frame(DrawReason.EXPORT)
+    for _ in range(1000):
+        block = prog.get_block(0.0)
+        if block is None:
+            break
+        (c0,), (nc,) = block
+        assert nc % 64 == 0
+        covered += prog._last_block_len
+        prog.end_block(0.005)
+    assert covered == prog._total
+    assert prog.end_frame_get_scalefactor() == 1.0

@@ -126,13 +126,15 @@ INTERACTIVE_USE_PRESORTED = True
 # progression.RenderProgressionColumns).  Builds the presort order at the
 # first interactive frame (~1 us/particle, one-time per snapshot).
 
-COLUMN_MIP_FLOOR_TARGET = 1 << 21
+COLUMN_MIP_FLOOR_TARGET = 1 << 20
 # decimation-mip tiers (ops/morton_device.build_mip_layout) are chained
-# until the smallest interactive column block is at most this many
-# particles.  Without tiers the sort-free column LOD cannot render less
-# than 1/8 of the snapshot per block (min_slice_width), which at the
-# 100M-particle north star would force >12M particles into every CHANGE
-# frame; one tier lowers the floor to 1/64, two to 1/512.
+# until the deepest tier holds at most ~8x this many particles (chaining
+# stops when the next floor would be under the target).  Interactive
+# CHANGE frames render whole tiers (progression.py: launch cost is flat
+# in slice width), so the deepest tier bounds the mandatory per-frame
+# block; 2^20 keeps it a few ms on one chip — a 60 fps budget always has
+# an affordable tier, and the budget-driven promotion climbs to larger
+# tiers whenever the measured frame time affords them.
 
 COLUMN_MIP_MAX_TIERS = 2
 # upper bound on chained decimation tiers (each costs one extra presort

@@ -323,7 +323,11 @@ class RenderProgressionColumns(CellSelectionMixin, RenderProgression):
                 for j in range(len(self._tiers) - 1, ti, -1):
                     tj = self._tiers[j]
                     full = tj["start"] + int(tj["cum"][-1])
-                    if full <= length:
+                    # 1/64 slack: the recommendation is an adaptive
+                    # estimate (and integer-truncated), not a hard cap —
+                    # skipping a tier over a rounding hair would halve
+                    # the rendered set for nothing
+                    if full <= length + (length >> 6) + 1:
                         self._last_block_len = full
                         self._last_block_tier = j
                         return ([0], [tj["ncols"]])
