@@ -32,7 +32,8 @@ GROUP = 512
 
 def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
                  presorted_buckets, density_cut=0.0, extra_mask=None,
-                 pyramid: PyramidSpec | None = None, giants="none"):
+                 pyramid: PyramidSpec | None = None, giants="none",
+                 group: int | None = None, subgroups: int | None = None):
     """(N,4) x (N,>=2 [mass, qty]) -> ((res, res, 2) [value, depth], dropped).
 
     Same output contract as zsplat.zsplat_scatter; ``presorted_buckets``
@@ -49,8 +50,17 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
     interpret = jax.default_backend() != "tpu"
 
     n = pos_smooth.shape[0]
-    G = GROUP if n >= 1 << 18 else (128 if n >= 1 << 14 else 64)
-    pad_quantum = G * SUBGROUPS
+    # ``group`` override: the surface column path passes the slice width so
+    # each original presorted group keeps its own (tight) window — flat
+    # slices reshape to one row per original group instead of merging
+    # pad_group/width of them (merged unions flood the spill tiers, see
+    # render/sph._render_block_columns_fields); ``subgroups`` scales the
+    # kernel's groups-per-step so the per-step pipeline latency amortizes
+    # over an unchanged particle count
+    G = group if group is not None else (
+        GROUP if n >= 1 << 18 else (128 if n >= 1 << 14 else 64))
+    sg = SUBGROUPS if subgroups is None else subgroups
+    pad_quantum = G * sg
     n_pad = max(pad_quantum, ((n + pad_quantum - 1) // pad_quantum) * pad_quantum)
 
     row_offs, atlas_rows, atlas_cols = atlas_layout(pyramid)
@@ -153,7 +163,7 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
         ay_s.reshape(n_groups, 1, G), ax_s.reshape(n_groups, 1, G),
         ih_fit.reshape(n_groups, 1, G), pay_g, w0, c0, c0e, flags,
         atlas_rows=atlas_rows, atlas_cols=atlas_cols, group=G,
-        interpret=interpret, window_rows=window_rows)
+        interpret=interpret, window_rows=window_rows, subgroups=sg)
 
     # ---- spill tiers (mirrors splat_atlas; max semantics) ------------------
     spilled = ~fits & (ih_s > 0.0)

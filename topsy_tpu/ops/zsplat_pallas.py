@@ -128,7 +128,8 @@ def _group_body(win_ref, window_rows: int, window_cols: int,
 
 
 def _make_kernel(n_steps: int, group: int, window_cols: int,
-                 profile_cols: int, window_rows: int, band_rows: int):
+                 profile_cols: int, window_rows: int, band_rows: int,
+                 subgroups: int = SUBGROUPS):
     def kernel(wb_ref, w0_ref, c0_ref, ce_ref, fl_ref, ay_ref, ax_ref,
                ih_ref, pay_ref, atlas_in_ref, atlas_out_ref, win_ref,
                sem_in, sem_out):
@@ -154,8 +155,8 @@ def _make_kernel(n_steps: int, group: int, window_cols: int,
             dma.start()
             dma.wait()
 
-        for s in range(SUBGROUPS):
-            ig = g * SUBGROUPS + s
+        for s in range(subgroups):
+            ig = g * subgroups + s
             wb = pl.multiple_of(wb_ref[ig], 8)
             w0 = pl.multiple_of(w0_ref[ig], 8)
             c0 = pl.multiple_of(c0_ref[ig], COL_ALIGN)
@@ -182,7 +183,7 @@ def _make_kernel(n_steps: int, group: int, window_cols: int,
                         pay_ref[0, s, 0][None, :], pay_ref[0, s, 1][None, :],
                         pay_ref[0, s, 2][None, :], w0, cbase, c0, ro)
 
-            if s == SUBGROUPS - 1:
+            if s == subgroups - 1:
                 @pl.when(g == n_steps - 1)
                 def _(wb=wb, c0=c0):
                     sl = (slice(None), pl.ds(wb, band_rows),
@@ -198,12 +199,13 @@ def _make_kernel(n_steps: int, group: int, window_cols: int,
 @functools.partial(jax.jit,
                    static_argnames=("atlas_rows", "atlas_cols", "group",
                                     "interpret", "window_cols",
-                                    "window_rows"))
+                                    "window_rows", "subgroups"))
 def accumulate_max_groups_pallas(ay_g, ax_g, ih_g, pay_g, w0, c0, ce, flags,
                                  *, atlas_rows: int, atlas_cols: int,
                                  group: int, interpret: bool = False,
                                  atlas0=None, window_cols: int = WINDOW_COLS,
-                                 window_rows: int = WINDOW_ROWS):
+                                 window_rows: int = WINDOW_ROWS,
+                                 subgroups: int = SUBGROUPS):
     """Max-composite accumulation over sorted groups.
 
     ay_g/ax_g/ih_g: (n_groups, 1, G) with ih <= 0 marking invalid
@@ -214,8 +216,8 @@ def accumulate_max_groups_pallas(ay_g, ax_g, ih_g, pay_g, w0, c0, ce, flags,
     cleared z-buffer, as the reference).
     """
     n_groups = w0.shape[0]
-    assert n_groups % SUBGROUPS == 0, n_groups
-    n_steps = n_groups // SUBGROUPS
+    assert n_groups % subgroups == 0, (n_groups, subgroups)
+    n_steps = n_groups // subgroups
     profile_cols = PROFILE_COLS if window_cols == WINDOW_COLS else window_cols
 
     # cap the scratch under ~512KB (see splat_pallas: larger scratches
@@ -232,21 +234,21 @@ def accumulate_max_groups_pallas(ay_g, ax_g, ih_g, pay_g, w0, c0, ce, flags,
         wb = w0
 
     kernel = _make_kernel(n_steps, group, window_cols, profile_cols,
-                          window_rows, band_rows)
+                          window_rows, band_rows, subgroups=subgroups)
 
-    ay_b = ay_g.reshape(n_steps, SUBGROUPS, group)
-    ax_b = ax_g.reshape(n_steps, SUBGROUPS, group)
-    ih_b = ih_g.reshape(n_steps, SUBGROUPS, group)
-    pay_b = pay_g.reshape(n_steps, SUBGROUPS, 3, group)
+    ay_b = ay_g.reshape(n_steps, subgroups, group)
+    ax_b = ax_g.reshape(n_steps, subgroups, group)
+    ih_b = ih_g.reshape(n_steps, subgroups, group)
+    pay_b = pay_g.reshape(n_steps, subgroups, 3, group)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(n_steps,),
         in_specs=[
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, group), lambda g, *_: (g, 0, 0)),
-            pl.BlockSpec((1, SUBGROUPS, 3, group),
+            pl.BlockSpec((1, subgroups, group), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, subgroups, group), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, subgroups, group), lambda g, *_: (g, 0, 0)),
+            pl.BlockSpec((1, subgroups, 3, group),
                          lambda g, *_: (g, 0, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],

@@ -762,9 +762,15 @@ class DistributedSplatter:
 
             if width == pad_group:
                 p, v, b, cid = pos, vals, buckets, ids
+                group = subgroups = None
             else:
                 p, v, b, cid = (slice_cols(pos), slice_cols(vals),
                                 slice_cols(buckets), slice_cols(ids))
+                # un-merged slices: one group per original group (see
+                # render/surface._render_block_columns_surface)
+                from ..ops.splat_pallas import SUBGROUPS
+                group = width
+                subgroups = min(64, SUBGROUPS * (pad_group // width))
             mask = cell_table[cid]
             # giants excluded by bucket threshold; the render loop's dense
             # hemisphere layer (surface._prepare_surface_giants) is
@@ -772,7 +778,8 @@ class DistributedSplatter:
             # single-chip surface column path
             im, dropped = zsplat_atlas.zsplat_atlas(
                 p, v, matrix, resolution, scale, b, density_cut=cut,
-                extra_mask=mask, giants=gb_thresh)
+                extra_mask=mask, giants=gb_thresh, group=group,
+                subgroups=subgroups)
             depth = im[..., -1]
             dmax = jax.lax.pmax(depth, axis)
             payload = jnp.where((depth == dmax)[..., None], im[..., :-1],
@@ -801,7 +808,6 @@ class DistributedSplatter:
         dense hemisphere layer (render/surface._prepare_surface_giants);
         None/'none' keep the truncated/squeezed windowed hemisphere — the
         z-buffered kernel has no in-call exact mode (ops/zsplat_atlas.py)."""
-        from ..ops.morton import slice_widths
         self.ensure_presorted()
         ps = self._tier(tier)
         layout = ps["layout"]
@@ -812,31 +818,17 @@ class DistributedSplatter:
         gb_thresh = jnp.int32(splat_giant.BUCKET_DISABLED
                               if giant_bucket in (None, "none")
                               else giant_bucket)
-        total = None
-        dropped = jnp.int32(0)
-        off = 0
-        for width in slice_widths(layout):
-            while ncols - off >= width:
-                step = steps.get(width)
-                if step is None:
-                    step = steps[width] = \
-                        self._build_columns_surface_step(
-                            width, layout.pad_group)
-                im, d = step(ps["pos"], ps["values"], ps["buckets"],
-                             ps["cell_ids"], table,
-                             jnp.asarray(matrix, jnp.float32),
-                             jnp.float32(scale), jnp.float32(density_cut),
-                             jnp.int32(col0 + off), gb_thresh)
-                if total is None:
-                    total = im
-                else:
-                    front = im[..., -1] > total[..., -1]
-                    total = jnp.where(front[..., None], im, total)
-                dropped = dropped + d
-                off += width
-        if off != ncols:
-            raise AssertionError(f"unrenderable column range {ncols}")
-        return total, dropped
+        # ONE launch for the whole range (un-merged slices accept any
+        # width; launch cost is flat in width)
+        step = steps.get(ncols)
+        if step is None:
+            step = steps[ncols] = \
+                self._build_columns_surface_step(ncols, layout.pad_group)
+        return step(ps["pos"], ps["values"], ps["buckets"],
+                    ps["cell_ids"], table,
+                    jnp.asarray(matrix, jnp.float32),
+                    jnp.float32(scale), jnp.float32(density_cut),
+                    jnp.int32(col0), gb_thresh)
 
     def render_columns(self, matrix, scale, col0: int, ncols: int,
                        cell_mask=None, tier=None, giant_bucket=None):

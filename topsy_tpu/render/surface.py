@@ -44,10 +44,13 @@ def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
                                   pad_group):
     """Column-slice z-buffered render (sort-free LOD, as sph.py's columns
     path) through the Pallas max-composite kernel (ops/zsplat_atlas.py).
-    ``cell_table`` (None = no culling) masks unselected cells."""
+    ``cell_table`` (None = no culling) masks unselected cells.  Slices are
+    NOT merged into pad_group-particle groups: zsplat_atlas groups the
+    flat slice at ``group=width`` so each original group keeps its own
+    tight window (any width works; the whole range is one launch)."""
     n_pad = pos_smooth.shape[0]
     ngr = n_pad // pad_group
-    assert pad_group % width == 0, width
+    assert width <= pad_group
     c0 = jnp.clip(col0, 0, pad_group - width)
 
     if width == pad_group:
@@ -63,10 +66,17 @@ def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
                 (ngr * width,) + tail)
 
     mask = None if cell_table is None else cell_table[slice_cols(cell_ids)]
+    if width == pad_group:
+        group = subgroups = None  # the standard full-width grouping
+    else:
+        group = width
+        from ..ops.splat_pallas import SUBGROUPS
+        subgroups = min(64, SUBGROUPS * (pad_group // width))
     return zsplat_atlas.zsplat_atlas(
         slice_cols(pos_smooth), slice_cols(values), matrix, resolution,
         scale, slice_cols(buckets), density_cut=density_cut,
-        extra_mask=mask, giants=giant_bucket)
+        extra_mask=mask, giants=giant_bucket, group=group,
+        subgroups=subgroups)
 
 
 @functools.partial(jax.jit, static_argnames=("resolution",))
@@ -246,7 +256,6 @@ class SurfaceSPHRenderer(SPHRenderer):
     def _render_columns_surface(self, matrix, scale, cut, col0: int,
                                 ncols: int, first_block: bool,
                                 sync_blocks: bool) -> bool:
-        from ..ops.morton import slice_widths
         store = self._store
         prog = self._render_progression
         # decimation-mip tiers (render/sph.py _render_columns_range): the
@@ -270,31 +279,29 @@ class SurfaceSPHRenderer(SPHRenderer):
                          tier.values_for(self._buffer_name),
                          tier.buckets,
                          tier.cell_ids if culling else None)
-        off = 0
-        for width in slice_widths(layout):
-            while ncols - off >= width:
-                with self._render_timer:
-                    from ..ops.splat_giant import BUCKET_DISABLED
-                    gb = self._giant_bucket
-                    im, dropped = _render_block_columns_surface(
-                        *flat_args,
-                        self._cell_table if culling else None,
-                        matrix, scale, cut,
-                        jnp.int32(col0 + off),
-                        jnp.int32(BUCKET_DISABLED if gb is None else gb),
-                        resolution=self._resolution,
-                        width=width, pad_group=pad_group)
-                    self._dropped_splats = dropped
-                    if first_block:
-                        self._image = im
-                        first_block = False
-                    else:
-                        self._image = _max_composite(self._image, im)
-                if sync_blocks:
-                    self._render_timer.sync(self._image)
-                off += width
-        if off != ncols:
-            raise AssertionError(f"unrenderable column range {ncols}")
+        # ONE launch for the whole range (un-merged slices accept any
+        # width, and launch cost is flat in width — see render/sph.
+        # _render_block_columns_fields)
+        if ncols:
+            with self._render_timer:
+                from ..ops.splat_giant import BUCKET_DISABLED
+                gb = self._giant_bucket
+                im, dropped = _render_block_columns_surface(
+                    *flat_args,
+                    self._cell_table if culling else None,
+                    matrix, scale, cut,
+                    jnp.int32(col0),
+                    jnp.int32(BUCKET_DISABLED if gb is None else gb),
+                    resolution=self._resolution,
+                    width=ncols, pad_group=pad_group)
+                self._dropped_splats = dropped
+                if first_block:
+                    self._image = im
+                    first_block = False
+                else:
+                    self._image = _max_composite(self._image, im)
+            if sync_blocks:
+                self._render_timer.sync(self._image)
         return first_block
 
     def get_image(self) -> np.ndarray:
