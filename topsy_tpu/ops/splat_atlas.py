@@ -521,19 +521,26 @@ def spill_pass(atlas, ay_s, ax_s, inv_h_s, coef_s, spilled, per_group_spill,
             t_ih = jnp.take(s_ih, idx3)
             t_coef = jnp.where(valid3[:, None],
                                jnp.take(s_coef, idx3, axis=0), 0.0)
-            tw0 = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32) * BAND)
-            tw0 = jnp.clip(tw0, 0,
+            tw0_raw = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32)
+                       * BAND)
+            tw0 = jnp.clip(tw0_raw, 0,
                            ((atlas_rows - window_rows) // BAND) * BAND)
-            from .splat_pallas import COL_ALIGN, PROFILE_COLS
+            from .splat_pallas import COL_ALIGN, FULL_CLASS, PROFILE_COLS
             ce_raw = jnp.floor(t_ax - FOOT).astype(jnp.int32)
             tc0 = jnp.clip((ce_raw // COL_ALIGN) * COL_ALIGN, 0,
                            atlas_cols - WINDOW_COLS)
             tce = jnp.clip(ce_raw, tc0, tc0 + WINDOW_COLS - PROFILE_COLS)
-            # one-particle groups always fit size class 1 (32 x 64): span
-            # <= 2*FOOT + 8 rows from the 8-aligned anchor, <= 17 cols from
-            # ce — full-window eval per straggler costs ~6x the VMEM
-            # read-modify-write for nothing
-            t_sizes = jnp.ones((T3,), jnp.int32)
+            # one-particle groups with an unclipped anchor fit size class 1
+            # (32 x 64): span <= 2*FOOT + 8 rows from the 8-aligned anchor,
+            # <= 17 cols from ce — full-window eval per straggler costs ~6x
+            # the VMEM read-modify-write for nothing.  An anchor CLIPPED at
+            # the atlas bottom, however, leaves the splat center up to
+            # window_rows-ish rows below the window start (a coarsest-level
+            # footprint can reach 39-46 rows from the clipped anchor at
+            # res 200-1024), so those rare stragglers take FULL_CLASS —
+            # class-1 eval would silently truncate their deposit rows >= 32
+            t_sizes = jnp.where(tw0_raw != tw0, jnp.int32(FULL_CLASS),
+                                jnp.int32(1))
             tflags = splat_pallas.group_flags(
                 t_ih.reshape(T3, 1), t_coef.reshape(T3, 1, C), H_MAX,
                 sizes=t_sizes)

@@ -33,7 +33,9 @@ GROUP = 512
 def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
                  presorted_buckets, density_cut=0.0, extra_mask=None,
                  pyramid: PyramidSpec | None = None, giants="none",
-                 group: int | None = None, subgroups: int | None = None):
+                 group: int | None = None, subgroups: int | None = None,
+                 spill_group_cap: int | None = None,
+                 t3_cap: int | None = None):
     """(N,4) x (N,>=2 [mass, qty]) -> ((res, res, 2) [value, depth], dropped).
 
     Same output contract as zsplat.zsplat_scatter; ``presorted_buckets``
@@ -44,6 +46,15 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
     a smoothing-bucket threshold — those splats are dropped here and the
     caller max-composites the exact dense layer
     (ops/splat_giant.zsplat_giant_image) instead.
+
+    ``spill_group_cap`` / ``t3_cap``: spill-tier budget overrides.  The
+    whole-tier surface column path raises both (as the additive path does,
+    render/sph._render_block_columns_fields) — decimation-tier groups
+    cover 8x the volume of main-layout groups, so whole-tier CHANGE frames
+    at 2^26-2^27 overflow the default budgets and silently drop splats.
+    Setting ``t3_cap`` also switches tier 3 to the unconditional group=1
+    pallas pass (the cond-wrapped scan costs ~150 us per straggler when
+    taken — see splat_atlas's identical policy).
     """
     if pyramid is None:
         pyramid = default_pyramid(resolution)
@@ -170,7 +181,9 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
     per_group_spill = spilled.reshape(n_groups, G).sum(axis=1)
     n_spill = per_group_spill.sum()
     G_SPILL = max(16, G // 8)
-    k_groups = min(n_groups, config.SPLAT_SPILL_GROUP_CAP)
+    k_groups = min(n_groups, (config.SPLAT_SPILL_GROUP_CAP
+                              if spill_group_cap is None
+                              else spill_group_cap))
     k_groups = max(1, (k_groups * (G // G_SPILL)) // SUBGROUPS) \
         * SUBGROUPS * G_SPILL // G
     spill_cap = k_groups * G
@@ -221,7 +234,46 @@ def zsplat_atlas(pos_smooth, values, matrix, resolution, scale,
             window_rows=window_rows)
 
         # tier 3: per-particle dynamic windows, max-merged sequentially
-        T3 = min(1024, spill_cap)
+        T3 = min(1024 if t3_cap is None else t3_cap, spill_cap)
+
+        if t3_cap is not None:
+            # the whole-tier surface column path: run tier 3 as an
+            # UNCONDITIONAL group=1 pallas pass (top_k compaction, windows
+            # fit by construction, inactive when no stragglers) — the
+            # cond-wrapped scan below costs ~150 us per step when taken,
+            # which at t3_cap=4096 would dwarf the whole frame (same
+            # policy and rationale as splat_atlas's tier 3)
+            from .splat_pallas import COL_ALIGN
+            _, idx3 = jax.lax.top_k(straggler.astype(jnp.float32)
+                                    * (2.0 - jnp.arange(spill_cap,
+                                                        dtype=jnp.float32)
+                                       / spill_cap), T3)
+            valid3 = jnp.take(straggler, idx3)
+            t_ay = jnp.take(s_ay, idx3)
+            t_ax = jnp.take(s_ax, idx3)
+            t_ih = jnp.where(valid3, jnp.abs(jnp.take(s_ih, idx3)), -1.0)
+            t_z = jnp.take(s_z, idx3)
+            t_hch = jnp.take(s_hch, idx3)
+            t_val = jnp.take(s_val, idx3)
+            tw0 = (jnp.floor((t_ay - FOOT) / BAND).astype(jnp.int32) * BAND)
+            tw0 = jnp.clip(tw0, 0,
+                           ((atlas_rows - window_rows) // BAND) * BAND)
+            ce_raw = jnp.floor(t_ax - FOOT).astype(jnp.int32)
+            tc0 = jnp.clip((ce_raw // COL_ALIGN) * COL_ALIGN, 0,
+                           atlas_cols - WINDOW_COLS)
+            tce = jnp.clip(ce_raw, tc0, tc0 + WINDOW_COLS - PROFILE_COLS)
+            tflags = jnp.where(valid3, FLAG_ACTIVE * 4 + FULL_CLASS, 0
+                               ).astype(jnp.int32)
+            tpay = jnp.stack([t_z, t_hch, t_val], axis=0)
+            atlas = accumulate_max_groups_pallas(
+                t_ay.reshape(T3, 1, 1), t_ax.reshape(T3, 1, 1),
+                t_ih.reshape(T3, 1, 1), tpay.reshape(3, T3, 1
+                                                     ).transpose(1, 0, 2),
+                tw0, tc0, tce, tflags, atlas_rows=atlas_rows,
+                atlas_cols=atlas_cols, group=1, interpret=interpret,
+                atlas0=atlas, window_rows=window_rows)
+            not_gathered = n_spill - valid.sum()
+            return atlas, not_gathered + jnp.maximum(n3 - T3, 0)
 
         def do_t3(atlas):
             big3 = jnp.int32(np.iinfo(np.int32).max)

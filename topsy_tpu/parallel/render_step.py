@@ -776,10 +776,15 @@ class DistributedSplatter:
             # hemisphere layer (surface._prepare_surface_giants) is
             # max-composited in by the caller — same contract as the
             # single-chip surface column path
+            from .. import config as _config
             im, dropped = zsplat_atlas.zsplat_atlas(
                 p, v, matrix, resolution, scale, b, density_cut=cut,
                 extra_mask=mask, giants=gb_thresh, group=group,
-                subgroups=subgroups)
+                subgroups=subgroups,
+                # raised spill budgets, as the single-chip surface column
+                # path (render/surface._render_block_columns_surface)
+                spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
+                t3_cap=4096)
             depth = im[..., -1]
             dmax = jax.lax.pmax(depth, axis)
             payload = jnp.where((depth == dmax)[..., None], im[..., :-1],

@@ -88,11 +88,45 @@ class RenderProgression:
         self._rendered_in_frame += self._last_block_len
         self._time_in_frame = time_elapsed_in_frame
 
-    def end_frame_get_scalefactor(self) -> float:
-        """Finish the frame; returns N_total / N_rendered for photometry."""
-        self._adapt_recommendation()
+    def end_frame_get_scalefactor(self, defer_adapt: bool = False) -> float:
+        """Finish the frame; returns N_total / N_rendered for photometry.
+
+        ``defer_adapt=True`` (barrier-free interactive frames): the frame's
+        device time is not known yet — the caller reports it later via
+        ``report_deferred_timing`` when the frame's single end-of-frame
+        barrier (presentation readback) lands, and the LOD recommendation
+        adapts then.  The photometric scale factor never waits."""
+        if defer_adapt:
+            self._deferred_frame = (self._reason, self._rendered_in_frame)
+        else:
+            self._deferred_frame = None
+            self._adapt_recommendation()
         self._reason = None
         return self._total / self._start_index
+
+    def report_deferred_timing(self, seconds: float):
+        """Late LOD feedback for a frame closed with ``defer_adapt=True``:
+        ``seconds`` is the frame's measured device time (from its single
+        natural barrier).  No-op if no deferred frame is pending."""
+        pending = getattr(self, "_deferred_frame", None)
+        if pending is None:
+            return
+        self._deferred_frame = None
+        reason, rendered = pending
+        saved = (self._reason, self._rendered_in_frame, self._time_in_frame)
+        self._reason, self._rendered_in_frame = reason, rendered
+        self._time_in_frame = seconds
+        try:
+            self._adapt_recommendation()
+        finally:
+            (self._reason, self._rendered_in_frame,
+             self._time_in_frame) = saved
+
+    def discard_deferred_timing(self):
+        """Drop a pending deferred measurement (a new frame started before
+        the previous frame's barrier was observed): the recommendation
+        simply keeps its last value."""
+        self._deferred_frame = None
 
     def needs_refine(self) -> bool:
         return self._start_index < self._total

@@ -22,6 +22,7 @@ from __future__ import annotations
 import copy
 import functools
 import logging
+import time
 
 import jax
 import jax.numpy as jnp
@@ -355,6 +356,11 @@ class SPHRenderer:
         matrix = jnp.asarray(self._matrix(), dtype=jnp.float32)
         scale = jnp.float32(self.scale)
 
+        # any unobserved deferred measurement from the previous frame is
+        # stale now (its image may already have been consumed elsewhere)
+        self._discard_pending_timing()
+        self._frame_t0 = time.perf_counter()
+
         clear = prog.start_frame(draw_reason)
         del clear  # framebuffer accumulation restarts unless REFINE continues
 
@@ -364,8 +370,14 @@ class SPHRenderer:
             first_block = False
 
         # EXPORT frames need no per-block timing feedback: launches pipeline
-        # asynchronously and sync once at the end
-        sync_blocks = draw_reason != DrawReason.EXPORT
+        # asynchronously and sync once at the end.  Column (whole-tier)
+        # interactive frames are a SINGLE launch, so they need no
+        # intra-frame feedback either: they run barrier-free and their
+        # device time is recovered from the frame's one natural barrier
+        # (the presentation readback / the caller's sync) via
+        # notify_frame_time — one host round-trip per frame, not two.
+        defer_timing = columns and draw_reason != DrawReason.EXPORT
+        sync_blocks = draw_reason != DrawReason.EXPORT and not defer_timing
 
         if draw_reason == DrawReason.EXPORT:
             use_presorted = self._use_presorted()
@@ -398,7 +410,8 @@ class SPHRenderer:
                     continue
                 if columns:
                     first_block = self._render_columns_range(
-                        matrix, scale, s, l, first_block, sync_blocks)
+                        matrix, scale, s, l, first_block, sync_blocks,
+                        export=(draw_reason == DrawReason.EXPORT))
                     continue
                 bucket = bucket_size(l, self._store.n_pad)
                 # oversized blocks are rendered in bucket-sized pieces
@@ -420,20 +433,69 @@ class SPHRenderer:
                         self._render_timer.sync(self._image)
             prog.end_block(self._render_timer.total_time_in_frame())
 
-        self._finish_frame(prog, record_timing=sync_blocks)
+        self._finish_frame(prog, record_timing=sync_blocks,
+                           defer_timing=defer_timing)
 
-    def _finish_frame(self, prog, record_timing: bool = True):
+    def _finish_frame(self, prog, record_timing: bool = True,
+                      defer_timing: bool = False):
         """Close the frame.  EXPORT frames run barrier-free (throughput
         mode): callers barrier on the image readback, consecutive movie
         frames keep the device pipeline full, and their enqueue-only
         timing is discarded (``record_timing=False``) rather than fed to
-        the fps display or the LOD scheduler."""
-        self._render_timer.end_frame(record=record_timing)
-        self.last_render_mass_scale = prog.end_frame_get_scalefactor()
+        the fps display or the LOD scheduler.
+
+        ``defer_timing=True`` (barrier-free interactive frames): the
+        frame's device time will be reported later by whoever observes the
+        frame's single end-of-frame barrier (``notify_frame_time`` /
+        ``notify_presentation_barrier``); until then the LOD
+        recommendation keeps its last value and the photometric scale
+        factor is computed immediately as always."""
+        if defer_timing:
+            self._render_timer.end_frame(record=False)  # enqueue time only
+            self._pending_timing_prog = prog
+            self.last_render_mass_scale = prog.end_frame_get_scalefactor(
+                defer_adapt=True)
+        else:
+            self._render_timer.end_frame(record=record_timing)
+            self.last_render_mass_scale = prog.end_frame_get_scalefactor()
         mean = self._render_timer.running_mean_duration
         self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
         self.has_rendered = True
         self._postprocess_frame()
+
+    # -- deferred frame timing (one host round-trip per interactive frame) ------
+
+    def notify_frame_time(self, seconds: float):
+        """Report the measured device time of the last barrier-free
+        interactive frame (the caller observed the frame's single natural
+        barrier — presentation readback or an explicit sync).  Feeds the
+        fps running mean and the LOD scheduler's deferred adaptation.
+        No-op when no measurement is pending."""
+        prog = getattr(self, "_pending_timing_prog", None)
+        if prog is None:
+            return
+        self._pending_timing_prog = None
+        self._render_timer.record_external(seconds)
+        prog.report_deferred_timing(max(0.0, seconds))
+        mean = self._render_timer.running_mean_duration
+        self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
+
+    def notify_presentation_barrier(self, t_effective: float):
+        """Presentation-pipeline hook: ``t_effective`` is the
+        ``time.perf_counter`` timestamp at which the presentation readback
+        completed, minus the calibrated pure-transfer cost of that
+        readback.  Everything between the frame's first launch and that
+        point is device work (render + colormap + fit), which is exactly
+        the time the frame budget must cover."""
+        if getattr(self, "_pending_timing_prog", None) is None:
+            return
+        self.notify_frame_time(max(0.0, t_effective - self._frame_t0))
+
+    def _discard_pending_timing(self):
+        prog = getattr(self, "_pending_timing_prog", None)
+        if prog is not None:
+            self._pending_timing_prog = None
+            prog.discard_deferred_timing()
 
     # -- presorted (sort-free) export path --------------------------------------
 
@@ -487,7 +549,8 @@ class SPHRenderer:
         return True
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
-                              first_block: bool, sync_blocks: bool) -> bool:
+                              first_block: bool, sync_blocks: bool,
+                              export: bool = False) -> bool:
         """Render columns [col0, col0+ncols), decomposed into power-of-two
         slice widths (each width compiles once).
 
@@ -529,10 +592,34 @@ class SPHRenderer:
                          tier.buckets,
                          tier.cell_ids if culling else None)
         if use_feed:
-            # un-merged slices take any width: the whole range is ONE
-            # launch (launch cost is flat in width — splitting a range
-            # into power-of-two pieces multiplies it)
-            launches = [(col0, ncols)] if ncols else []
+            if export and ncols:
+                # EXPORT-over-columns fallback (EXPORT_USE_PRESORTED off,
+                # or a first export): the progression's cum-searchsorted
+                # chunking emits data-dependent widths, so one-launch-per-
+                # range would compile a fresh jit per distinct chunk width
+                # over a long export.  Decompose into power-of-two widths
+                # (quantum-floored) so compile count stays bounded at
+                # ~log2 widths; EXPORT pays no per-launch budget anyway.
+                q = getattr(prog, "_tiers", None)
+                quantum = (q[tier_idx]["quantum"]
+                           if q is not None and tier_idx < len(q) else 1)
+                launches = []
+                off = 0
+                w = 1 << (pad_group.bit_length() - 1)
+                w = min(w, pad_group)
+                while w >= max(quantum, 1) and off < ncols:
+                    while ncols - off >= w:
+                        launches.append((col0 + off, w))
+                        off += w
+                    w //= 2
+                if off != ncols:  # ranges are quantum multiples
+                    launches.append((col0 + off, ncols - off))
+            else:
+                # interactive frames: un-merged slices take any width, and
+                # the whole (whole-tier) range is ONE launch (launch cost
+                # is flat in width — splitting a range into power-of-two
+                # pieces multiplies it)
+                launches = [(col0, ncols)] if ncols else []
         else:
             launches = []
             off = 0

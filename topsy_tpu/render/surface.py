@@ -72,11 +72,17 @@ def _render_block_columns_surface(pos_smooth, values, buckets, cell_ids,
         group = width
         from ..ops.splat_pallas import SUBGROUPS
         subgroups = min(64, SUBGROUPS * (pad_group // width))
+    # raised spill budgets, as the additive column path
+    # (render/sph._render_block_columns_fields): whole-tier CHANGE frames
+    # at 2^26-2^27 overflow the default caps (decimation-tier groups cover
+    # 8x the volume) and would silently drop splats
+    from .. import config
     return zsplat_atlas.zsplat_atlas(
         slice_cols(pos_smooth), slice_cols(values), matrix, resolution,
         scale, slice_cols(buckets), density_cut=density_cut,
         extra_mask=mask, giants=giant_bucket, group=group,
-        subgroups=subgroups)
+        subgroups=subgroups,
+        spill_group_cap=4 * config.SPLAT_SPILL_GROUP_CAP, t3_cap=4096)
 
 
 @functools.partial(jax.jit, static_argnames=("resolution",))
@@ -168,6 +174,10 @@ class SurfaceSPHRenderer(SPHRenderer):
         cut = jnp.float32(self._density_cut_value())
         values = self._store.values_for(self._buffer_name)
 
+        import time as _time
+        self._discard_pending_timing()
+        self._frame_t0 = _time.perf_counter()
+
         if columns:
             self._prepare_surface_giants(
                 matrix, scale, cut,
@@ -182,7 +192,12 @@ class SurfaceSPHRenderer(SPHRenderer):
         first_block = draw_reason != DrawReason.REFINE or self._image is None
 
         from .store import bucket_size
-        sync_blocks = draw_reason != DrawReason.EXPORT
+        # column (whole-tier) interactive frames run barrier-free with
+        # deferred timing, exactly as the additive path (render/sph.py):
+        # one launch per frame, feedback from the frame's single natural
+        # end-of-frame barrier
+        defer_timing = columns and draw_reason != DrawReason.EXPORT
+        sync_blocks = draw_reason != DrawReason.EXPORT and not defer_timing
         while (block := prog.get_block(self._render_timer.total_time_in_frame())) is not None:
             starts, lens = block
             for s, l in zip(starts, lens):
@@ -221,12 +236,9 @@ class SurfaceSPHRenderer(SPHRenderer):
         # EXPORT (sync_blocks=False) runs barrier-free (throughput mode,
         # SPHRenderer._finish_frame): callers barrier on the readback and
         # the enqueue-only timing is discarded
-        self._render_timer.end_frame(record=sync_blocks)
-        prog.end_frame_get_scalefactor()
+        self._finish_frame(prog, record_timing=sync_blocks,
+                           defer_timing=defer_timing)
         self.last_render_mass_scale = 1.0  # max semantics need no rescale
-        mean = self._render_timer.running_mean_duration
-        self.last_render_fps = 1.0 / mean if mean > 0 else 0.0
-        self.has_rendered = True
 
     def _prepare_surface_giants(self, matrix, scale, cut, keep: bool):
         """Per-view giant planning for surface mode: sets the bucket

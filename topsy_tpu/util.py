@@ -116,6 +116,18 @@ class TimeDeviceOperation:
         if len(self._recent) > self.n_frames_smooth:
             self._recent.pop(0)
 
+    def record_external(self, duration: float):
+        """Record a frame duration measured OUTSIDE this timer — the
+        deferred-feedback interactive path: the frame launches barrier-free
+        and its device time is recovered from the frame's single natural
+        end-of-frame barrier (the presentation readback, or the caller's
+        own sync), so interactive frames pay ONE host round-trip instead of
+        two.  Feeds the same running mean as in-frame measurements."""
+        self.last_duration = max(0.0, duration)
+        self._recent.append(self.last_duration)
+        if len(self._recent) > self.n_frames_smooth:
+            self._recent.pop(0)
+
     def total_time_in_frame(self) -> float:
         return self._current_frame_duration
 

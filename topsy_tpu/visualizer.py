@@ -360,6 +360,14 @@ class VisualizerBase:
                                           self._sph.last_render_mass_scale)
         pres = fit_to_window(rgba_dev, width, height)
         img = np.array(pres, dtype=np.float32)
+        # the readback above is the interactive frame's single natural
+        # device barrier: feed its completion time (minus the calibrated
+        # pure-transfer cost of a frame this size) back to the renderer's
+        # deferred LOD/fps timing — barrier-free frames pay ONE host
+        # round-trip, here, instead of a second one inside render()
+        t_done = time.perf_counter()
+        self._sph.notify_presentation_barrier(
+            t_done - self._presentation_readback_cost(pres))
         img[..., 3] = 1.0
 
         if self.show_colorbar and self._colorbar is not None:
@@ -376,6 +384,26 @@ class VisualizerBase:
         if self.canvas_format == "rgba16float":
             return img.astype(np.float16)
         return (np.clip(img, 0.0, 1.0) * 255 + 0.5).astype(np.uint8)
+
+    def _presentation_readback_cost(self, pres) -> float:
+        """Calibrated pure-transfer cost of reading back a presentation
+        frame of this (shape, dtype): measured ONCE per shape by re-reading
+        the just-completed frame (the device work is done, so the second
+        read is transfer + fixed latency only).  Subtracting it from the
+        presentation barrier's wall time leaves device time — the quantity
+        the LOD scheduler budgets."""
+        key = (tuple(getattr(pres, "shape", ())),
+               str(getattr(pres, "dtype", "")))
+        cache = getattr(self, "_readback_cost_cache", None)
+        if cache is None:
+            cache = self._readback_cost_cache = {}
+        cost = cache.get(key)
+        if cost is None:
+            t0 = time.perf_counter()
+            np.asarray(pres)
+            cost = time.perf_counter() - t0
+            cache[key] = cost
+        return cost
 
     def display_status(self, text, timeout=0.5):
         self._override_status_text = text
