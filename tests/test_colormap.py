@@ -137,3 +137,51 @@ def test_fit_to_window_aspect():
     tall = np.asarray(fit_to_window(square, 64, 128))
     assert tall.shape == (128, 64, 4)
     assert tall[64, 32, 0] > 0.5
+
+
+def _device(arr):
+    import jax.numpy as jnp
+    return jnp.asarray(arr)
+
+
+def test_autorange_rgb_device_matches_host():
+    """RGB autorange runs on device (histogram percentile, ops/stats.py) —
+    no full-framebuffer readback — and agrees with the host/numpy path to
+    histogram-bin tolerance (4096 bins over the finite range)."""
+    rng = np.random.RandomState(3)
+    raw = (10 ** rng.normal(-2, 1.5, (64, 64, 3))).astype(np.float32)
+    raw[:4] = 0.0  # empty pixels: -inf after log, must be excluded
+
+    host = RGBColormap({"type": "rgb", "log": True, "vmin": None,
+                        "vmax": None})
+    host.autorange_vmin_vmax(raw)
+    dev = RGBColormap({"type": "rgb", "log": True, "vmin": None,
+                       "vmax": None})
+    dev.autorange_vmin_vmax(_device(raw))
+
+    span = abs(host.get_parameter("vmax") - host.get_parameter("vmin")) + 1.0
+    for k in ("vmin", "vmax"):
+        assert abs(host.get_parameter(k) - dev.get_parameter(k)) \
+            < 0.02 * span, k
+
+
+def test_autorange_bivariate_device_matches_host():
+    """Bivariate autorange (both axes) device-vs-host agreement."""
+    rng = np.random.RandomState(4)
+    raw = np.zeros((64, 64, 2), dtype=np.float32)
+    raw[..., 0] = 10 ** rng.normal(0, 1, (64, 64))
+    raw[..., 1] = raw[..., 0] * 10 ** rng.normal(2, 0.5, (64, 64))
+    params = {"type": "bivariate", "weighted_average": True, "vmin": None,
+              "vmax": None, "log": None}
+    host = BivariateColormap(dict(params))
+    host.autorange_vmin_vmax(raw)
+    dev = BivariateColormap(dict(params))
+    dev.autorange_vmin_vmax(_device(raw))
+
+    for k in ("vmin", "vmax", "density_vmin", "density_vmax"):
+        h, d = host.get_parameter(k), dev.get_parameter(k)
+        assert abs(h - d) < 0.02 * (abs(h) + 1.0), (k, h, d)
+    hu = host.get_parameter("ui_range_density")
+    du = dev.get_parameter("ui_range_density")
+    np.testing.assert_allclose(np.asarray(hu), np.asarray(du), rtol=1e-3,
+                               atol=1e-3)

@@ -396,18 +396,34 @@ class RGBColormap(Colormap):
     def hdr_output(self) -> bool:
         return False
 
-    def autorange_vmin_vmax(self, vals: np.ndarray):
-        vals = vals.ravel()
-        with np.errstate(divide="ignore", invalid="ignore"):
-            vals = np.log10(vals)
-        vals = vals[np.isfinite(vals)]
-        if len(vals) > 200:
-            self._params["vmax"] = np.percentile(vals, self.max_percentile)
-        elif len(vals) > 2:
-            self._params["vmax"] = np.max(vals)
+    def autorange_vmin_vmax(self, vals):
+        if isinstance(vals, jnp.ndarray) and not isinstance(vals, np.ndarray):
+            # device histogram percentile (ops/stats.py) — only scalars
+            # cross the host boundary, as the univariate path; a full
+            # framebuffer readback costs 0.3-1 s through a tunneled runtime
+            from ..ops import stats
+            p, n, _lo, hi = stats.percentiles(jnp.log10(vals.ravel()),
+                                              self.max_percentile)
+            if n > 200:
+                self._params["vmax"] = float(p[0])
+            elif n > 2:
+                self._params["vmax"] = float(hi)
+            else:
+                logger.warning("Unable to autorange RGB map")
+                self._params["vmax"] = 1.0
         else:
-            logger.warning("Unable to autorange RGB map")
-            self._params["vmax"] = 1.0
+            vals = np.asarray(vals).ravel()
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vals = np.log10(vals)
+            vals = vals[np.isfinite(vals)]
+            if len(vals) > 200:
+                self._params["vmax"] = float(
+                    np.percentile(vals, self.max_percentile))
+            elif len(vals) > 2:
+                self._params["vmax"] = float(np.max(vals))
+            else:
+                logger.warning("Unable to autorange RGB map")
+                self._params["vmax"] = 1.0
         self._params["vmin"] = self._params["vmax"] - self.dynamic_range
         logger.info("RGB autorange: vmin=%.4g vmax=%.4g",
                     self._params["vmin"], self._params["vmax"])
@@ -477,8 +493,34 @@ class BivariateColormap(Colormap):
                               weighted=bool(self._params.get("weighted_average",
                                                              False)))
 
-    def autorange_vmin_vmax(self, vals: np.ndarray):
-        vals = self.sph_raw_output_to_content(vals)
+    def autorange_vmin_vmax(self, vals):
+        if isinstance(vals, jnp.ndarray) and not isinstance(vals, np.ndarray):
+            # device histogram percentiles for BOTH axes (ops/stats.py):
+            # only scalars cross the host boundary — no full-framebuffer
+            # np.percentile readback (reference host analogue:
+            # implementation.py:381-425, 512-531)
+            from ..ops import stats
+            den = vals[..., 0].ravel()
+            dp, dn, dlo, dhi = stats.percentiles(jnp.log10(den),
+                                                 self.percentile_scaling)
+            if dn > 2:
+                density_vmin, density_vmax = float(dp[0]), float(dp[-1])
+                density_ui = (dlo, dhi)
+            else:
+                density_vmin, density_vmax = 0.0, 1.0
+                density_ui = (np.nan, np.nan)
+            self.update_parameters({
+                "density_vmin": density_vmin,
+                "density_vmax": density_vmax,
+                "ui_range_density": density_ui,
+            })
+            if self._params["weighted_average"]:
+                content = vals[..., 1] / vals[..., 0]
+            else:
+                content = vals[..., 0]
+            self._autorange_using_values(content.ravel())
+            return
+        vals = self.sph_raw_output_to_content(np.asarray(vals))
         with np.errstate(divide="ignore", invalid="ignore"):
             den_vals = np.log10(vals[..., 0].ravel())
         den_vals = den_vals[np.isfinite(den_vals)]
