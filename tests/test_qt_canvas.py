@@ -170,3 +170,64 @@ def test_qt_recorder_wiring(qt_canvas_cls):
     canvas._snapshot()
     canvas._save_timestream()
     canvas._load_timestream()
+
+
+def test_qt_window_link_toggle(qt_canvas_cls, monkeypatch):
+    """The toolbar link action joins all open windows into one
+    ViewSynchronizer and unlink removes this window (reference:
+    canvas/qt/__init__.py:198-217)."""
+    # instances from other tests linger until GC'd; isolate the registry
+    monkeypatch.setattr(qt_canvas_cls, "_all_instances", [])
+    vis1 = _make_vis(qt_canvas_cls)
+    vis2 = _make_vis(qt_canvas_cls)
+    c1, c2 = vis1.canvas, vis2.canvas
+    assert len(qt_canvas_cls._all_instances) == 2
+    assert not vis1.is_synchronizing()
+
+    c1._on_click_link()
+    assert vis1.is_synchronizing() and vis2.is_synchronizing()
+    # state propagates between the linked visualizers
+    vis1.scale = 7.5
+    vis1._view_synchronizer.perpetuate_update(vis1)
+    assert vis2.scale == 7.5
+
+    c1._on_click_link()  # unlink THIS window only
+    assert not vis1.is_synchronizing()
+    c2._update_toolbar()  # exercises the <2-peers disabled path
+
+
+def test_qt_recording_settings_dialog(qt_canvas_cls, monkeypatch):
+    """Movie export goes through the settings dialog and plumbs every
+    option into save_mp4 (reference: canvas/qt/recording.py:15-121)."""
+    from topsy_tpu.canvas import qt as qtmod
+
+    vis = _make_vis(qt_canvas_cls)
+    canvas = vis.canvas
+
+    dialog = qtmod.RecordingSettingsDialog()
+    # stubbed combo boxes return non-values -> documented defaults
+    assert dialog.fps == 30.0
+    assert dialog.resolution == (1920, 1080)
+    assert isinstance(dialog.smooth, bool)
+
+    captured = {}
+
+    def fake_save_mp4(fname, **kwargs):
+        captured["fname"] = fname
+        captured.update(kwargs)
+
+    monkeypatch.setattr(canvas._get_recorder(), "save_mp4", fake_save_mp4)
+    monkeypatch.setattr(canvas, "_exec_dialog_accepted", lambda d: True)
+    qtmod.QtWidgets.QFileDialog.getSaveFileName = staticmethod(
+        lambda *a, **k: ("/tmp/movie.mp4", "MPEG-4 (*.mp4)"))
+    canvas._save_movie()
+    assert captured["fname"] == "/tmp/movie.mp4"
+    for key in ("fps", "resolution", "smooth", "set_vmin_vmax",
+                "set_quantity", "show_colorbar", "show_scalebar"):
+        assert key in captured, key
+
+    # cancelled dialog: no export
+    captured.clear()
+    monkeypatch.setattr(canvas, "_exec_dialog_accepted", lambda d: False)
+    canvas._save_movie()
+    assert not captured

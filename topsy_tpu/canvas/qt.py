@@ -20,9 +20,44 @@ except ImportError as _e:  # pragma: no cover
     raise ImportError("PySide6 is required for the Qt canvas") from _e
 
 from ..color.ui import ControlSpec, LayoutSpec, UnifiedColorMapController
+from ..recorder import VisualizationRecorder
 from . import VisualizerCanvasBase
 
 logger = logging.getLogger(__name__)
+
+
+class VisualizationRecorderWithQtProgressbar(VisualizationRecorder):
+    """Movie export with a cancellable Qt progress dialog (reference:
+    canvas/qt/recording.py:124-154): the event loop is pumped with SPH
+    re-rendering suppressed so the main window stays responsive without
+    triggering extra renders mid-export."""
+
+    def __init__(self, visualizer, parent_widget):
+        super().__init__(visualizer)
+        self._parent_widget = parent_widget
+
+    def _progress_iterator(self, ntot):
+        import time as _time
+        progress = QtWidgets.QProgressDialog("Rendering to mp4...", "Stop",
+                                             0, ntot, self._parent_widget)
+        progress.setWindowModality(QtCore.Qt.WindowModality.WindowModal)
+        progress.forceShow()
+        last_update = 0.0
+        loop = QtCore.QEventLoop()
+        try:
+            for i in range(ntot):
+                # progress updates repaint the main window (slow); throttle
+                if _time.time() - last_update > 0.5:
+                    last_update = _time.time()
+                    progress.setValue(i)
+                    with self._visualizer.prevent_sph_rendering():
+                        loop.processEvents(
+                            QtCore.QEventLoop.ProcessEventsFlag.AllEvents)
+                    if progress.wasCanceled():
+                        break
+                yield i
+        finally:
+            progress.close()
 
 _app = None
 
@@ -95,7 +130,106 @@ class _CanvasWidget(QtWidgets.QWidget):
                                    "pixel_ratio": ratio})
 
 
+class RecordingSettingsDialog(QtWidgets.QDialog):
+    """Movie-export options dialog (reference: canvas/qt/recording.py:15-121):
+    smoothing, vmin/vmax + quantity replay, colorbar/scalebar visibility,
+    resolution and fps — all plumbed into ``save_mp4``'s kwargs.
+
+    Property getters fall back to sensible defaults when the toolkit
+    returns non-values (which also makes them exercisable under the test
+    suite's stubbed Qt object model)."""
+
+    _RESOLUTIONS = ["Half HD (960x540)", "HD (1920x1080)", "4K (3840x2160)"]
+    _FPS = ["24 fps", "30 fps", "60 fps"]
+
+    def __init__(self, *args):
+        super().__init__(*args)
+        self.setWindowTitle("Recording settings")
+        layout = QtWidgets.QVBoxLayout()
+        self.setLayout(layout)
+
+        self._smooth_checkbox = QtWidgets.QCheckBox(
+            "Smooth timestream camera movements")
+        self._vmin_vmax_checkbox = QtWidgets.QCheckBox(
+            "Set vmin/vmax from timestream")
+        self._quantity_checkbox = QtWidgets.QCheckBox(
+            "Set quantity from timestream")
+        self._colorbar_checkbox = QtWidgets.QCheckBox("Show colorbar")
+        self._scalebar_checkbox = QtWidgets.QCheckBox("Show scalebar")
+        for cb in (self._smooth_checkbox, self._vmin_vmax_checkbox,
+                   self._quantity_checkbox, self._colorbar_checkbox,
+                   self._scalebar_checkbox):
+            cb.setChecked(True)
+            layout.addWidget(cb)
+            layout.addSpacing(6)
+
+        self._resolution_dropdown = QtWidgets.QComboBox()
+        self._resolution_dropdown.addItems(self._RESOLUTIONS)
+        self._resolution_dropdown.setCurrentIndex(1)
+        self._fps_dropdown = QtWidgets.QComboBox()
+        self._fps_dropdown.addItems(self._FPS)
+        self._fps_dropdown.setCurrentIndex(1)
+        row = QtWidgets.QHBoxLayout()
+        row.addWidget(self._resolution_dropdown)
+        row.addWidget(self._fps_dropdown)
+        layout.addLayout(row)
+
+        buttons = QtWidgets.QHBoxLayout()
+        cancel = QtWidgets.QPushButton("Cancel")
+        cancel.clicked.connect(self.reject)
+        save = QtWidgets.QPushButton("Save")
+        save.setDefault(True)
+        save.clicked.connect(self.accept)
+        buttons.addWidget(cancel)
+        buttons.addWidget(save)
+        layout.addLayout(buttons)
+
+    @staticmethod
+    def _checked(cb) -> bool:
+        return bool(cb.isChecked())
+
+    @property
+    def fps(self) -> float:
+        try:
+            return float(str(self._fps_dropdown.currentText()).split()[0])
+        except (ValueError, IndexError):
+            return 30.0
+
+    @property
+    def resolution(self) -> tuple:
+        import re
+        m = re.match(r".*\((\d+)x(\d+)\)",
+                     str(self._resolution_dropdown.currentText()))
+        if m:
+            return int(m.group(1)), int(m.group(2))
+        return 1920, 1080
+
+    @property
+    def smooth(self) -> bool:
+        return self._checked(self._smooth_checkbox)
+
+    @property
+    def set_vmin_vmax(self) -> bool:
+        return self._checked(self._vmin_vmax_checkbox)
+
+    @property
+    def set_quantity(self) -> bool:
+        return self._checked(self._quantity_checkbox)
+
+    @property
+    def show_colorbar(self) -> bool:
+        return self._checked(self._colorbar_checkbox)
+
+    @property
+    def show_scalebar(self) -> bool:
+        return self._checked(self._scalebar_checkbox)
+
+
 class QtCanvas(VisualizerCanvasBase):
+    #: every live QtCanvas, for the window-link toggle (reference:
+    #: canvas/qt/__init__.py:34-37, 198-205)
+    _all_instances: list = []
+
     def __init__(self, *args, **kwargs):
         _ensure_app()
         super().__init__(*args, **kwargs)
@@ -110,6 +244,14 @@ class QtCanvas(VisualizerCanvasBase):
         self._timer = QtCore.QTimer()
         self._timer.setSingleShot(True)
         self._timer.timeout.connect(self._flush_draw)
+        QtCanvas._all_instances.append(self)
+        self._update_toolbar()
+
+    def __del__(self):
+        try:
+            QtCanvas._all_instances.remove(self)
+        except ValueError:
+            pass
 
     # -- scheduling --------------------------------------------------------------
 
@@ -136,17 +278,19 @@ class QtCanvas(VisualizerCanvasBase):
         self._window.addToolBar(tb)
 
         self._record_action = tb.addAction("Record", self._toggle_record)
-        tb.addAction("Save movie", self._save_movie)
+        self._save_movie_action = tb.addAction("Save movie", self._save_movie)
         tb.addAction("Snapshot", self._snapshot)
-        tb.addAction("Save script", self._save_timestream)
+        self._save_script_action = tb.addAction("Save script",
+                                                self._save_timestream)
         tb.addAction("Load script", self._load_timestream)
+        self._link_action = tb.addAction("Link", self._on_click_link)
         tb.addAction("Colormap", self._toggle_controls)
         self._controls_dock = None
 
     def _get_recorder(self):
         if self._recorder is None:
-            from ..recorder import VisualizationRecorder
-            self._recorder = VisualizationRecorder(self._visualizer)
+            self._recorder = VisualizationRecorderWithQtProgressbar(
+                self._visualizer, self._window)
         return self._recorder
 
     def _toggle_record(self):
@@ -157,13 +301,64 @@ class QtCanvas(VisualizerCanvasBase):
         else:
             rec.record()
             self._record_action.setText("Stop")
+        self._update_toolbar()
+
+    def _exec_dialog_accepted(self, dialog) -> bool:
+        dialog.exec()
+        return dialog.result() == QtWidgets.QDialog.DialogCode.Accepted
 
     def _save_movie(self):
         rec = self._get_recorder()
+        # options dialog first, then the file picker (reference:
+        # canvas/qt/__init__.py:154-171)
+        dialog = RecordingSettingsDialog(self._window)
+        if not self._exec_dialog_accepted(dialog):
+            return
         fname, _ = QtWidgets.QFileDialog.getSaveFileName(
             self._window, "Save movie", "", "MPEG-4 (*.mp4)")
         if fname:
-            rec.save_mp4(fname, fps=30.0, resolution=(1920, 1080))
+            rec.save_mp4(str(fname), fps=dialog.fps,
+                         resolution=dialog.resolution,
+                         smooth=dialog.smooth,
+                         set_vmin_vmax=dialog.set_vmin_vmax,
+                         set_quantity=dialog.set_quantity,
+                         show_colorbar=dialog.show_colorbar,
+                         show_scalebar=dialog.show_scalebar)
+
+    # -- window linking (reference: canvas/qt/__init__.py:198-217) ------------
+
+    def _on_click_link(self):
+        """Toggle view synchronization across every open QtCanvas window:
+        link joins all open visualizers into one ViewSynchronizer,
+        unlink removes only THIS window from its synchronizer."""
+        vis = self._visualizer
+        if vis.is_synchronizing():
+            logger.info("Stop synchronizing")
+            vis.stop_synchronizing()
+        else:
+            logger.info("Start synchronizing %d windows",
+                        len(self._all_instances))
+            from ..view_synchronizer import ViewSynchronizer
+            synchronizer = ViewSynchronizer()
+            for instance in self._all_instances:
+                synchronizer.add_view(instance._visualizer)
+        for instance in self._all_instances:
+            instance._update_toolbar()
+
+    def _update_toolbar(self):
+        """Reference toolbar-state parity (canvas/qt/__init__.py:207-224):
+        the link toggle needs >= 2 windows and no active recorder; movie /
+        script export need a recorder holding a finished recording."""
+        recording = self._recorder is not None and self._recorder.recording
+        if recording or len(self._all_instances) < 2:
+            self._link_action.setDisabled(True)
+        else:
+            self._link_action.setDisabled(False)
+            self._link_action.setText(
+                "Unlink" if self._visualizer.is_synchronizing() else "Link")
+        have_recording = self._recorder is not None and not recording
+        self._save_movie_action.setDisabled(not have_recording)
+        self._save_script_action.setDisabled(not have_recording)
 
     def _snapshot(self):
         fname, _ = QtWidgets.QFileDialog.getSaveFileName(
