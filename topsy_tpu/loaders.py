@@ -344,9 +344,11 @@ class TestDataDeviceLoader(AbstractDataLoader):
 class ArrayDataLoader(AbstractDataLoader):
     """Loader for raw numpy arrays — no pynbody required.
 
-    Smoothing lengths, if not provided, are computed with the native exact
-    kNN (topsy_tpu.native, pynbody's h = d_nn/2 convention) or, failing
-    that, the on-device multigrid estimator (ops/knn.py).
+    Smoothing lengths, if not provided, are computed on a TPU backend with
+    the exact-to-tolerance device kNN (ops/knn_device.py, pynbody's
+    h = d_nn/2 convention, reference loader.py:222-238); otherwise with the
+    native host exact kNN (topsy_tpu.native) or, failing that, the
+    on-device multigrid estimator (ops/knn.py).
     """
 
     def __init__(self, positions: np.ndarray, mass: np.ndarray | None = None,
@@ -362,6 +364,15 @@ class ArrayDataLoader(AbstractDataLoader):
         n = len(positions)
         if mass is None:
             mass = np.ones(n, dtype=np.float32)
+        if smooth is None:
+            import jax
+            if jax.default_backend() == "tpu":
+                try:
+                    from .ops.knn_device import knn_smooth_device
+                    smooth = np.asarray(
+                        knn_smooth_device(positions, n_neighbors))
+                except Exception:  # pragma: no cover - fall through to host
+                    logger.exception("device kNN failed; using host path")
         if smooth is None:
             from . import native
             smooth = native.knn_smooth(positions, n_neighbors)
