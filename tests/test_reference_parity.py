@@ -229,18 +229,20 @@ def test_surface_vs_reference(surface_vis):
     oscillating quantity.  Bounds here are therefore measured cross-
     renderer envelopes, each asserted per pixel class:
 
-    * coverage (depth > 0) must agree exactly (measured: 0 flips) up to a
-      2-pixel silhouette budget (the reference-vs-exact flip rate);
-    * depth within rtol=4.5e-2 everywhere and rtol=2e-2 at 85% (measured:
-      max 4.0%, at the one sampled pixel the exact evaluator finds EMPTY —
-      both renderers cover it only through finite-footprint spillover, so
-      its depth is pure reconstruction; elsewhere max 2.7%, same order as
-      reference-vs-exact's 2.0%);
+    * coverage (depth > 0) must agree exactly (measured: 0 flips; 1-pixel
+      silhouette budget, half the reference-vs-exact flip rate);
+    * depth: the one known-divergent pixel (33: the exact evaluator finds
+      it EMPTY — both renderers cover it only through finite-footprint
+      spillover, so its depth is pure reconstruction) is avoid-masked at
+      its measured 4.0% (bound 4.4e-2); everywhere else measured max 2.7%
+      (bound 3.3e-2), same order as reference-vs-exact's 2.0%; rtol=2e-2
+      at >= 85%;
     * the winner's quantity matches the committed value (rtol=1e-3,
-      atol=1e-7) on >= 65% of covered pixels (measured: 16/23; our winner
-      matches the exact evaluator's on 19/23 vs the reference's 20/23 —
-      the remainder are genuine winner flips, the effect the reference's
-      own avoid_mask[67] acknowledges).
+      atol=1e-7) EXACTLY outside the avoid-masked set of 7 measured
+      genuine winner flips (one drift pixel allowed), and on >= 70%
+      overall (measured 17/24) — our winner matches the exact evaluator's
+      on 19/23 vs the reference's 20/23; flips are the effect the
+      reference's own avoid_mask[67] acknowledges.
     """
     result = np.asarray(surface_vis.get_sph_image())
     assert result.shape == (200, 200, 2)
@@ -251,17 +253,41 @@ def test_surface_vs_reference(surface_vis):
     covered = expect_depth > 0
     ours_covered = depth > 0
     flipped = covered != ours_covered
-    assert flipped.sum() <= 2, \
+    assert flipped.sum() <= 1, \
         f"coverage flips at sampled pixels {np.flatnonzero(flipped)}"
+
     both = covered & ours_covered
+    idx = np.flatnonzero(both)
     rel = (np.abs(depth[both] - expect_depth[both])
            / np.maximum(np.abs(expect_depth[both]), 1e-9))
-    assert rel.max() < 4.5e-2, \
-        f"depth off at {np.flatnonzero(both)[rel >= 4.5e-2]}: " \
-        f"{depth[both][rel >= 4.5e-2]} vs {expect_depth[both][rel >= 4.5e-2]}"
+    # avoid-mask idiom (the reference's own avoid_mask,
+    # test_render_output.py:467): pixel 33 is the documented spillover
+    # pixel — the exact float64 evaluator finds it EMPTY; both renderers
+    # cover it only through finite-footprint spillover, so its depth is
+    # pure reconstruction (measured 4.0%).  Everywhere else the measured
+    # max is 2.7% — the same order as the reference-vs-exact deviation
+    # (2.0%) — asserted with a ~20% margin.
+    DEPTH_AVOID = {33}
+    avoid = np.isin(idx, list(DEPTH_AVOID))
+    assert rel[avoid].max() < 4.4e-2 if avoid.any() else True
+    assert rel[~avoid].max() < 3.3e-2, \
+        f"depth off at {idx[~avoid][rel[~avoid] >= 3.3e-2]}: " \
+        f"{depth[both][~avoid][rel[~avoid] >= 3.3e-2]}"
     assert (rel < 2e-2).mean() >= 0.85
+
+    # winner-quantity avoid-mask: the measured genuine winner flips
+    # (arg-max reshuffles of an oscillating quantity under ~1% fragment-
+    # depth shifts — the effect the reference's own avoid_mask
+    # acknowledges).  Every NON-avoided covered pixel must match the
+    # committed winner payload (one pixel of drift allowed for device-
+    # count/layout variation); a payload-selection regression would flip
+    # pixels outside this fixed set and fail here.
+    QTY_AVOID = {35, 43, 45, 47, 66, 67, 74}
+    qavoid = np.isin(idx, list(QTY_AVOID))
     ok_qty = np.isclose(qty[both], expect_qty[both], rtol=1e-3, atol=1e-7)
-    assert ok_qty.mean() >= 0.65, \
+    assert (~ok_qty[~qavoid]).sum() <= 1, \
+        f"winner flips outside the known set at {idx[~qavoid][~ok_qty[~qavoid]]}"
+    assert ok_qty.mean() >= 0.70, \
         f"winner quantities match at only {ok_qty.sum()}/{both.sum()}"
 
 
@@ -277,6 +303,8 @@ def test_surface_presentation_vs_reference(surface_vis):
     expect = EXPECTED["test_surface_render.presentation_expectation"]
     got = pres[::20, ::20].ravel().astype(np.int32)
     err = np.abs(got - expect.astype(np.int32))
-    assert (err <= 30).mean() >= 0.97, \
+    # measured: 8/400 elements beyond atol=30 (all adjacent to the known
+    # winner-flip pixels), max error 82 — asserted with a small margin
+    assert (err > 30).sum() <= 10, \
         f"{(err > 30).sum()}/400 elements beyond the reference's atol=30"
-    assert err.max() <= 150
+    assert err.max() <= 100
