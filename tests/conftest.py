@@ -38,7 +38,12 @@ def _bound_accumulated_jit_state():
     executables already resident in the process.  Releasing them per module
     bounds that accumulation; with the persistent disk cache above, any
     program a later module needs again reloads in milliseconds instead of
-    recompiling."""
+    recompiling.
+
+    If the crash recurs: run the standalone repro
+    ``benchmarks/repro_xla_cpu_segfault.py`` (dummy-compile accumulation +
+    the suite's biggest zsplat compile) to diagnose in minutes instead of
+    re-running a 2-hour suite."""
     yield
     import jax
     jax.clear_caches()
