@@ -37,6 +37,7 @@ SCALE = 50.0
 SEED = 1337
 PORT = int(os.environ.get("TOPSY_TPU_MP_PORT", "29871"))
 OUT = os.environ.get("TOPSY_TPU_MP_OUT", "/tmp/topsy_tpu_mp_render.npz")
+MIP_FLOOR = 1000  # low floor so even small test scenes build a mip tier
 
 
 def _scene(n):
@@ -59,6 +60,9 @@ def worker(pid: int, nproc: int, n: int):
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     from topsy_tpu.parallel import DistributedSplatter, make_mesh, strided_shard
+
+    from topsy_tpu import config
+    config.COLUMN_MIP_FLOOR_TARGET = MIP_FLOOR  # force >=1 decimation tier
 
     ps, vals, matrix = _scene(n)
     mesh = make_mesh()
@@ -84,12 +88,35 @@ def worker(pid: int, nproc: int, n: int):
     im_pre = np.asarray(im_pre)
     assert int(np.asarray(dropped)) == 0
 
+    # fused feed engine under REAL multi-process (a pod's interactive
+    # path: _force_feed activates the pallas-interpret feed off-TPU)
+    ds._force_feed = True
+    im_feed, dropped_f = ds.render_presorted(matrix, SCALE)
+    ds._force_feed = False
+    im_feed = np.asarray(im_feed)
+    assert int(np.asarray(dropped_f)) == 0
+
+    # forced decimation-mip tier: deepest tier's whole-column render —
+    # exercises the negotiated mip slabs across processes
+    mips = ds.presorted_mip_layouts()
+    assert mips, "mip floor did not force a decimation tier"
+    im_mip, dropped_m = ds.render_columns(matrix, SCALE, 0,
+                                          mips[0].pad_group, tier=0)
+    im_mip = np.asarray(im_mip)
+    # global tier size (per-process subsamples): allgather-sum of the
+    # local tier reals, for the launcher's photometric check
+    from jax.experimental import multihost_utils
+    mip_reals = int(np.sum(multihost_utils.process_allgather(
+        np.asarray(mips[0].n_real, dtype=np.int64))))
+
     if pid == 0:
-        np.savez(OUT, block=im_block, pre=im_pre,
-                 n=n, nproc=nproc)
+        np.savez(OUT, block=im_block, pre=im_pre, feed=im_feed,
+                 mip=im_mip, mip_frac=mip_reals / n, n=n, nproc=nproc)
     print(json.dumps({"pid": pid, "devices": D,
                       "block_sum": float(im_block[..., 0].sum()),
-                      "pre_sum": float(im_pre[..., 0].sum())}), flush=True)
+                      "pre_sum": float(im_pre[..., 0].sum()),
+                      "feed_sum": float(im_feed[..., 0].sum()),
+                      "mip_sum": float(im_mip[..., 0].sum())}), flush=True)
 
 
 def main():
@@ -110,7 +137,9 @@ def main():
             flags + f" --xla_force_host_platform_device_count={nproc}")
     import jax
     jax.config.update("jax_platforms", "cpu")
+    from topsy_tpu import config
     from topsy_tpu.parallel import DistributedSplatter, make_mesh
+    config.COLUMN_MIP_FLOOR_TARGET = MIP_FLOOR
 
     ps, vals, matrix = _scene(n)
     ds = DistributedSplatter(make_mesh(nproc), ps, vals, RES)
@@ -126,8 +155,31 @@ def main():
     ref_pre = np.asarray(ref_pre)
     np.testing.assert_allclose(got["pre"], ref_pre, rtol=1e-3,
                                atol=1e-5 * np.abs(ref_pre).max())
+    ds._force_feed = True
+    ref_feed, _ = ds.render_presorted(matrix, SCALE)
+    ds._force_feed = False
+    np.testing.assert_allclose(got["feed"], np.asarray(ref_feed),
+                               rtol=1e-3,
+                               atol=1e-5 * np.abs(ref_pre).max())
+    # the mip tier is a RANDOM fair subsample per layout build, so the
+    # 2-process tier (per-process subsamples) and the single-process tier
+    # select different particles — images are not comparable pixelwise.
+    # Check photometric consistency instead: the tier holds a known
+    # fraction of the snapshot and mass deposition is conserved, so the
+    # tier's total mass must match that fraction of the full render.
+    mips = ds.presorted_mip_layouts()
+    assert mips, "mip floor did not force a decimation tier"
+    mip_img = got["mip"]
+    assert np.isfinite(mip_img).all() and mip_img[..., 0].sum() > 0
+    frac = float(got["mip_frac"])
+    assert 0 < frac < 0.5, frac
+    got_mass = float(mip_img[..., 0].sum())
+    want_mass = float(ref_pre[..., 0].sum()) * frac
+    assert abs(got_mass - want_mass) < 0.1 * want_mass, \
+        f"mip tier mass {got_mass} vs expected {want_mass}"
     print(f"PASS: {nproc}-process render matches single-process "
-          f"({n} particles, {RES}x{RES})")
+          f"({n} particles, {RES}x{RES}; block/presorted/feed + mip tier "
+          f"photometry)")
 
 
 if __name__ == "__main__":

@@ -99,6 +99,38 @@ class PresortedLayout:
         return out
 
 
+def build_mip_host(layout: "PresortedLayout", pos_smooth: np.ndarray,
+                   pad_total: int = 4096,
+                   seed: int = 1337) -> "PresortedLayout | None":
+    """Host decimation-mip layout (the numpy analogue of
+    ops/morton_device.build_mip_layout): a presorted layout over the
+    particles of the parent's first ``min_slice_width`` columns — a
+    spatially fair 1/(pad_group/w) subsample thanks to the within-group
+    shuffle.  The returned layout's ``order`` composes back to the
+    ORIGINAL rows of ``pos_smooth``, so ``apply`` works unchanged and the
+    mip can chain.  Used by the multi-host (process-local) mesh path,
+    where the per-process slabs are host layouts.  Returns None when no
+    safe column slicing exists or the subsample is degenerate."""
+    import dataclasses
+
+    w = min_slice_width(layout)
+    if w >= layout.pad_group:
+        return None
+    ng = layout.n_out // layout.pad_group
+    slots = np.arange(layout.n_out).reshape(
+        ng, layout.pad_group)[:, :w].ravel()
+    src = np.full(layout.n_out, -1, dtype=np.int64)
+    src[layout.dst] = layout.order
+    sub_src = src[slots]
+    sub_src = sub_src[sub_src >= 0]
+    if len(sub_src) < 2 * layout.pad_group:
+        return None
+    inner = build_presorted(np.asarray(pos_smooth)[sub_src],
+                            pad_group=layout.pad_group,
+                            pad_total=pad_total, seed=seed)
+    return dataclasses.replace(inner, order=sub_src[inner.order])
+
+
 def min_slice_width(layout: "PresortedLayout", floor: int = 64) -> int:
     """Smallest safe column-slice width for a layout.
 

@@ -379,15 +379,70 @@ class DistributedSplatter:
                     if self._local_cell_ids is not None
                     else np.zeros(len(self._local_pos_smooth),
                                   dtype=np.int32))
-        self._presorted = dict(
-            local_n=ln,
-            layout=layout,
-            pos=slab(layout.apply(self._local_pos_smooth,
-                                  fill=morton.PAD_POS), morton.PAD_POS),
-            values=slab(layout.apply(self._local_values), 0.0),
-            buckets=slab(layout.buckets, 0),
-            cell_ids=slab(layout.apply(cell_ids), 0),
-        )
+
+        def local_tier_dict(lay, tier_ln):
+            extra_t = tier_ln * nl_dev - lay.n_out
+
+            def slab_t(applied, fill):
+                if extra_t:
+                    tail = np.full((extra_t,) + applied.shape[1:], fill,
+                                   applied.dtype)
+                    applied = np.concatenate([applied, tail])
+                local = applied.reshape(nl_dev, tier_ln,
+                                        *applied.shape[1:])
+                return jax.make_array_from_process_local_data(
+                    sharding, local,
+                    (self.n_devices, tier_ln) + applied.shape[1:])
+
+            return dict(
+                local_n=tier_ln,
+                layout=lay,
+                pos=slab_t(lay.apply(self._local_pos_smooth,
+                                     fill=morton.PAD_POS), morton.PAD_POS),
+                values=slab_t(lay.apply(self._local_values), 0.0),
+                buckets=slab_t(lay.buckets, 0),
+                cell_ids=slab_t(lay.apply(cell_ids), 0),
+            )
+
+        self._presorted = local_tier_dict(layout, ln)
+        # decimation-mip tiers for the multi-host path: each process
+        # builds a host mip over its own slab (ops/morton.build_mip_host)
+        # and the per-tier slab lengths are negotiated like the main one;
+        # a tier exists only if EVERY host could build it and at least one
+        # wants it (all-or-nothing, agreed collectively below)
+        from .. import config as _config
+        mips = []
+        lay = layout
+        while len(mips) < _config.COLUMN_MIP_MAX_TIERS:
+            w = morton.min_slice_width(lay)
+            floor = (int(lay.real_per_column[:w].sum())
+                     if w < lay.pad_group
+                     else int(lay.real_per_column.sum()))
+            want = floor > _config.COLUMN_MIP_FLOOR_TARGET * nl_dev
+            # every host attempts the build so the group decision below
+            # can require all of them; local floors differ across hosts,
+            # so the decision MUST be collective — a host-local break here
+            # would desynchronize the negotiation collectives and hang
+            mip = morton.build_mip_host(lay, self._local_pos_smooth,
+                                        pad_total=4096 * nl_dev)
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+                flags = multihost_utils.process_allgather(np.asarray(
+                    [int(want), int(mip is not None)], dtype=np.int64))
+                proceed = bool(flags[:, 0].max()) and bool(
+                    flags[:, 1].min())
+            else:
+                proceed = want and mip is not None
+            if not proceed:
+                break
+            nat_m = mip.n_out // nl_dev
+            if jax.process_count() > 1:
+                ln_m = self._negotiate_padded_len(nat_m)
+            else:
+                ln_m = nat_m
+            mips.insert(0, local_tier_dict(mip, ln_m))
+            lay = mip
+        self._presorted["mips"] = mips
 
     @staticmethod
     def _negotiate_padded_len(natural: int) -> int:
