@@ -202,5 +202,131 @@ def main():
           f"({ng4} groups, G={G})")
 
 
+def roofline(log2n: int = 24, resolution: int = 1024):
+    """Achieved-vs-peak accounting for the PRODUCT frame's accumulate
+    kernel (VERDICT r4 item 2).
+
+    Builds the bench configuration (TestDataDeviceLoader at 2^log2n via
+    the product store), times the fused-feed stages on the chip, pulls the
+    per-group (kind, size-class) flags to the host, and prices each
+    hardware term of the kernel's work model:
+
+    * MXU: bf16 deposit matmuls, 2*C*R*Wq*rank*G FLOPs per group
+      (hat groups contract at width G);
+    * VPU: profile evaluation, ~(R+Wq)*G*(2*rank*(ncoef-1)+5) elementwise
+      ops per group;
+    * VMEM: the window read-modify-write, 2*C*R*256*4 bytes per group
+      (columns are the full DMA window regardless of the size class);
+    * HBM: window flush+load DMA at band changes (counted from the group
+      anchor sequence; FRESH_SKIP halves loads).
+
+    Peaks: v5e MXU bf16 197 TFLOP/s; VPU 4.2 T elementwise-ops/s and VMEM
+    RMW ~281 GB/s (both MEASURED on this chip — CLAUDE.md notes: 0.7 us
+    per 96x256 f32 read-modify-write); HBM 819 GB/s.  The binding term is
+    the one whose implied time is the largest share of the measured
+    kernel time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from topsy_tpu import camera
+    from topsy_tpu.loaders import TestDataDeviceLoader
+    from topsy_tpu.ops import kernels, splat_atlas, splat_pallas
+    from topsy_tpu.render.store import ParticleStore
+
+    n = 1 << log2n
+    scale = 200.0
+    print(f"roofline: n=2^{log2n}, res={resolution}, "
+          f"backend={jax.default_backend()}")
+
+    loader = TestDataDeviceLoader(n, seed=1337)
+    store = ParticleStore(loader)
+    store.ensure_presorted()
+    fields = store.presorted_fields()
+    values_cm = store.presorted_values_cm_for("mass_and_quantity")
+    gb = store.presorted_group_buckets
+    matrix = jnp.asarray(camera.world_to_clip_matrix(
+        np.eye(3), np.zeros(3), scale), jnp.float32)
+
+    # stage timings through the fused-feed product path
+    import functools
+
+    def run(stop):
+        return jax.jit(functools.partial(
+            splat_atlas.splat_atlas_fields, giants="none",
+            _stop_after=stop))(fields, values_cm, matrix, resolution,
+                               scale, gb)[0]
+    t_feed, _ = timed(lambda: run("feed"), reps=10)
+    t_kernel, _ = timed(lambda: run("kernel"), reps=10)
+    t_full, _ = timed(lambda: run(None), reps=10)
+    t_accum = t_kernel - t_feed
+    row_t = lambda k, v: print(f"{k:30s} {v*1e3:9.3f} ms")
+    row_t("feed front-end", t_feed)
+    row_t("accumulate kernel (delta)", t_accum)
+    row_t("full (incl spill+collapse)", t_full)
+
+    # per-group flags from the flat presorted path (same groups/windows)
+    anchors = jax.jit(lambda ps, vals, m, b: splat_atlas.splat_atlas(
+        ps, vals, m, resolution, scale, presorted_buckets=b,
+        _stop_after="anchors"))
+    w0_, c0_, c0e_, _coef, flags = anchors(
+        store.pos_smooth_presorted,
+        store.presorted_values_for("mass_and_quantity"),
+        matrix, store.presorted_buckets)
+    flags = np.asarray(flags)
+    w0_np = np.asarray(w0_)
+    c0_np = np.asarray(c0_)
+    kind = flags // 4
+    size = flags % 4
+    G = splat_atlas.GROUP
+    C = 2
+    window_rows = 96
+    lrk = kernels.lowrank_kernel()
+    rank, ncoef = lrk.rank, lrk.coeffs.shape[1]
+
+    mxu_flops = vpu_ops = vmem_bytes = 0.0
+    counts = {}
+    for sz in range(len(splat_pallas.SIZE_CLASSES)):
+        r_e, c_e = splat_pallas.SIZE_CLASSES[sz]
+        R = window_rows if r_e is None else min(r_e, window_rows)
+        Wq = splat_pallas.PROFILE_COLS if c_e is None else c_e
+        for k in range(5):
+            m = int(((kind == k) & (size == sz)).sum())
+            if m == 0 or k == splat_pallas.FLAG_INACTIVE:
+                continue
+            counts[(k, sz)] = m
+            width = G if k == splat_pallas.FLAG_ALL_TINY else rank * G
+            mxu_flops += m * 2.0 * C * R * Wq * width
+            vpu_ops += m * (R + Wq) * G * (2 * rank * (ncoef - 1) + 5)
+            vmem_bytes += m * 2.0 * C * R * 256 * 4
+    print("group classes (kind,size->count):",
+          {k: v for k, v in sorted(counts.items())})
+
+    band_rows = window_rows + splat_pallas.ROW_QUANTUM + 8
+    anchor = (w0_np // splat_pallas.ROW_QUANTUM) * splat_pallas.ROW_QUANTUM
+    changes = int(np.count_nonzero(
+        (np.diff(anchor) != 0) | (np.diff(c0_np) != 0))) + 1
+    hbm_bytes = changes * C * band_rows * 256 * 4 * 1.5  # flush + ~half loads
+
+    PEAK = {"MXU bf16 FLOP/s": 197e12, "VPU ops/s": 4.2e12,
+            "VMEM RMW B/s": 281e9, "HBM B/s": 819e9}
+    terms = [("MXU bf16 FLOP/s", mxu_flops), ("VPU ops/s", vpu_ops),
+             ("VMEM RMW B/s", vmem_bytes), ("HBM B/s", hbm_bytes)]
+    print(f"{'term':18s} {'work':>12s} {'implied ms':>11s} "
+          f"{'% of kernel':>12s} {'achieved/peak':>14s}")
+    for name, work in terms:
+        implied = work / PEAK[name]
+        ach = work / t_accum / PEAK[name]
+        print(f"{name:18s} {work:12.3e} {implied*1e3:11.3f} "
+              f"{implied / t_accum * 100:11.1f}% {ach*100:13.1f}%")
+    print(f"measured kernel {t_accum*1e3:.3f} ms; splats/s "
+          f"{n / t_full / 1e6:.0f} M (windowed passes only, giants=none)")
+
+
 if __name__ == "__main__":
-    main()
+    if "roofline" in sys.argv[1:]:
+        args = [a for a in sys.argv[1:] if a != "roofline"]
+        roofline(int(args[0]) if args else 24,
+                 int(args[1]) if len(args) > 1 else 1024)
+    else:
+        main()

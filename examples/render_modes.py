@@ -9,9 +9,11 @@ import numpy as np
 
 import topsy_tpu
 from topsy_tpu.canvas import OffscreenCanvas
+from topsy_tpu.util import enable_persistent_compile_cache
 
 
 def main():
+    enable_persistent_compile_cache()  # repeat runs skip the XLA compiles
     n = int(float(sys.argv[1])) if len(sys.argv) > 1 else int(1e6)
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/topsy_tpu_demo"
     import os
