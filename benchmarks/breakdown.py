@@ -248,17 +248,18 @@ def roofline(log2n: int = 24, resolution: int = 1024):
     matrix = jnp.asarray(camera.world_to_clip_matrix(
         np.eye(3), np.zeros(3), scale), jnp.float32)
 
-    # stage timings through the fused-feed product path
-    import functools
-
-    def run(stop):
-        return jax.jit(functools.partial(
-            splat_atlas.splat_atlas_fields, giants="none",
-            _stop_after=stop))(fields, values_cm, matrix, resolution,
-                               scale, gb)[0]
-    t_feed, _ = timed(lambda: run("feed"), reps=10)
-    t_kernel, _ = timed(lambda: run("kernel"), reps=10)
-    t_full, _ = timed(lambda: run(None), reps=10)
+    # stage timings through the fused-feed product path (one jitted fn per
+    # stage so the trace cache holds across reps)
+    def make(stop):
+        return jax.jit(lambda f, v, m, g: splat_atlas.splat_atlas_fields(
+            f, v, m, resolution, scale, g, giants="none",
+            _stop_after=stop)[0])
+    stages = {s: make(s) for s in ("feed", "kernel", None)}
+    t_feed, _ = timed(stages["feed"], fields, values_cm, matrix, gb,
+                      reps=10)
+    t_kernel, _ = timed(stages["kernel"], fields, values_cm, matrix, gb,
+                        reps=10)
+    t_full, _ = timed(stages[None], fields, values_cm, matrix, gb, reps=10)
     t_accum = t_kernel - t_feed
     row_t = lambda k, v: print(f"{k:30s} {v*1e3:9.3f} ms")
     row_t("feed front-end", t_feed)
