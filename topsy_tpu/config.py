@@ -140,6 +140,15 @@ COLUMN_MIP_MAX_TIERS = 2
 # upper bound on chained decimation tiers (each costs one extra presort
 # build over an 8x smaller subsample plus its array copies).
 
+KNN_DEVICE_MAX_N = 1 << 18
+# largest snapshot routed to the exact on-device kNN (ops/knn_device.py)
+# when a TPU backend is active; larger snapshots use the host OpenMP grid
+# search (native/_native.cpp, also exact).  The algorithm itself is
+# size-invariant and exact at every scale, but this harness's tunneled
+# TPU runtime crashes its worker on the finishing-pass program shapes
+# above ~2^19 (benchmarks/knn_scale.py documents the attempts); raise
+# this on a runtime that digests them.
+
 AUTORANGE_PERCENTILES = (1.0, 99.9)
 
 GPU_TIMING_SMOOTH_WINDOW = 10  # frames of running-mean for fps display

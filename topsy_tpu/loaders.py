@@ -366,7 +366,8 @@ class ArrayDataLoader(AbstractDataLoader):
             mass = np.ones(n, dtype=np.float32)
         if smooth is None:
             import jax
-            if jax.default_backend() == "tpu":
+            if (jax.default_backend() == "tpu"
+                    and n <= config.KNN_DEVICE_MAX_N):
                 try:
                     from .ops.knn_device import knn_smooth_device
                     smooth = np.asarray(
