@@ -109,7 +109,11 @@ class DistributedSPHRenderer(MeshSplatterMixin, SPHRenderer):
     """Density / weighted-quantity renderer over a particle-sharded mesh."""
 
     def _render_columns_range(self, matrix, scale, col0: int, ncols: int,
-                              first_block: bool, sync_blocks: bool) -> bool:
+                              first_block: bool, sync_blocks: bool,
+                              export: bool = False) -> bool:
+        # ``export`` is part of the base signature (power-of-two EXPORT
+        # width decomposition); the mesh splatter decomposes internally
+        # (render_step.render_columns), so compiles are already bounded
         splatter = self._get_splatter()
         mask = self._render_progression.get_selected_cell_mask()
         with self._render_timer:
