@@ -239,13 +239,16 @@ def test_multi_process_presort_negotiates_automatically(data, monkeypatch):
     calls = []
 
     def fake_allgather(x):
+        x = np.asarray(x)
+        if x.ndim:  # mip-tier decision flags (want, buildable) per host
+            return np.stack([x, x])
         calls.append(int(x))
         return np.asarray([int(x), natural + 4096], dtype=np.int64)
 
     monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
     assert ds.supports_presorted()  # negotiation is automatic now
     ds.ensure_presorted()
-    assert calls == [natural]
+    assert calls[0] == natural  # main slab first; mip tiers may follow
     assert ds._presorted["local_n"] == natural + 4096
     im, _ = ds.render_presorted(matrix, SCALE)
     np.testing.assert_allclose(np.asarray(im), np.asarray(im_ref),

@@ -158,3 +158,46 @@ def test_selection_generation_changes(cell_prog):
     g1 = prog.selection_generation
     prog.select_sphere((0.9, 0.9, 0.9), 0.1)
     assert prog.selection_generation == g1  # unchanged selection
+
+
+def test_deferred_timing_adapts_recommendation():
+    """Barrier-free interactive frames (VERDICT r4 item 1): the frame
+    closes with defer_adapt=True and the LOD recommendation adapts only
+    when the measured time arrives via report_deferred_timing."""
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgression
+
+    prog = RenderProgression(100000, initial_particles=1000)
+    prog.start_frame(DrawReason.CHANGE)
+    block = prog.get_block(0.0)
+    assert block is not None
+    prog.end_block(0.0)
+    rec_before = prog._recommended
+    sf = prog.end_frame_get_scalefactor(defer_adapt=True)
+    assert sf > 1.0                       # photometry never waits
+    assert prog._recommended == rec_before  # adaptation deferred
+
+    # the frame took half the budget -> achievable doubles -> big jump
+    prog.report_deferred_timing(0.5 / 30.0)
+    assert prog._recommended != rec_before
+    # a second report is a no-op (measurement already consumed)
+    rec = prog._recommended
+    prog.report_deferred_timing(123.0)
+    assert prog._recommended == rec
+
+
+def test_deferred_timing_discard():
+    """A new frame starting before the previous barrier was observed
+    discards the stale deferred measurement."""
+    from topsy_tpu.drawreason import DrawReason
+    from topsy_tpu.progression import RenderProgression
+
+    prog = RenderProgression(100000, initial_particles=1000)
+    prog.start_frame(DrawReason.CHANGE)
+    prog.get_block(0.0)
+    prog.end_block(0.0)
+    rec = prog._recommended
+    prog.end_frame_get_scalefactor(defer_adapt=True)
+    prog.discard_deferred_timing()
+    prog.report_deferred_timing(1e-6)  # must be ignored after discard
+    assert prog._recommended == rec

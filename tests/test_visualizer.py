@@ -257,3 +257,26 @@ def test_periodic_tiling_mode():
     bare = np.asarray(v._sph._image)[..., 0]
     tiled = np.asarray(v._sph.get_output_image())[..., 0]
     assert tiled.sum() >= bare.sum() * 0.99
+
+
+def test_interactive_frame_deferred_timing_via_presentation():
+    """Interactive column frames run barrier-free: render() leaves a
+    pending deferred measurement, and the visualizer's presentation
+    readback resolves it (notify_presentation_barrier), feeding the fps
+    display and the LOD scheduler (VERDICT r4 item 1)."""
+    vis = topsy_tpu.test(20000, render_resolution=48,
+                         canvas_class=OffscreenCanvas)
+    sph = vis._sph
+    sph.render(DrawReason.CHANGE)  # activates the column path
+    vis.draw(DrawReason.CHANGE)
+    # the draw's np.array readback must have resolved the pending timing
+    assert getattr(sph, "_pending_timing_prog", None) is None
+    assert sph.last_render_fps > 0
+
+    # a direct render without a presentation barrier leaves it pending...
+    sph.render(DrawReason.CHANGE)
+    assert getattr(sph, "_pending_timing_prog", None) is not None
+    # ...and an explicit caller sync resolves it (the scale.py pattern)
+    sph.notify_frame_time(0.004)
+    assert getattr(sph, "_pending_timing_prog", None) is None
+    assert sph._render_timer.last_duration == 0.004
