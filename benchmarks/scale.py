@@ -132,6 +132,25 @@ def main():
     dropped = getattr(vis._sph, "_dropped_splats", None)
     out["interactive_dropped_splats"] = (int(dropped)
                                          if dropped is not None else 0)
+
+    # REFINE to full coverage: walks the remaining tiers incl. the full
+    # main-layout column launch (the SMEM-capped piece path at 2^26+ —
+    # this path went untested on hardware before round 5 and failed to
+    # compile there)
+    refine_frames = 0
+    refine_dropped = 0
+    t0 = time.perf_counter()
+    while vis._sph.needs_refine() and refine_frames < 8:
+        vis._sph.render(DrawReason.REFINE)
+        device_sync(vis._sph._image)
+        vis._sph.notify_frame_time(0.01)
+        refine_dropped += vis._sph.last_dropped_splats
+        refine_frames += 1
+    out["refine_frames_to_full"] = refine_frames
+    out["refine_total_s"] = round(time.perf_counter() - t0, 3)
+    out["refine_dropped_splats"] = refine_dropped
+    out["refined_fully"] = not vis._sph.needs_refine()
+
     vis._sph.render(DrawReason.EXPORT)
     device_sync(vis._sph._image)
     dropped = getattr(vis._sph, "_dropped_splats", None)

@@ -140,6 +140,17 @@ COLUMN_MIP_MAX_TIERS = 2
 # upper bound on chained decimation tiers (each costs one extra presort
 # build over an 8x smaller subsample plus its array copies).
 
+SPLAT_COLUMNS_GROUP_CAP = 1 << 15
+# max particle groups per pallas column launch.  The accumulate kernels
+# prefetch 5-6 per-group s32 scalar arrays into SMEM (anchors + flags,
+# splat_pallas/zsplat_pallas); v5e SMEM is 1.0 MB, so launches beyond
+# ~32k groups fail to compile ("Ran out of memory in memory space
+# smem").  Column renders over more groups split into group-axis pieces
+# (the additive feed path via its native piece=(g0, pg) support, the
+# surface path by row-chunking the flat slice) and combine by sum /
+# max-composite.  32768 groups x 6 arrays x 4 B = 0.79 MB, inside
+# budget with headroom for the kernel's other scalars.
+
 KNN_DEVICE_MAX_N = 1 << 18
 # largest snapshot routed to the exact on-device kNN (ops/knn_device.py)
 # when a TPU backend is active; larger snapshots use the host OpenMP grid

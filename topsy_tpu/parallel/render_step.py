@@ -654,13 +654,30 @@ class DistributedSplatter:
             # the render loop's dense layer (_prepare_giants) covers the
             # exact giants
             from .. import config as _config
-            im, dropped = splat_atlas.splat_atlas_fields(
-                sliced, svals, matrix, resolution, scale, sgb, mask=smask,
-                depth_channel=depth_channel,
-                giants="auto" if auto_giants else gb_thresh,
-                subgroups=subgroups,
-                spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
-                spill_t3_cap=4096)
+
+            def launch(piece):
+                return splat_atlas.splat_atlas_fields(
+                    sliced, svals, matrix, resolution, scale, sgb,
+                    mask=smask, depth_channel=depth_channel,
+                    giants="auto" if auto_giants else gb_thresh,
+                    subgroups=subgroups, piece=piece,
+                    spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
+                    spill_t3_cap=4096)
+
+            # group-axis pieces: per-group SMEM prefetch arrays cap each
+            # launch (config.SPLAT_COLUMNS_GROUP_CAP — the single-chip
+            # column path does the same, render/sph)
+            ngs = sliced[0].shape[0]
+            cap = _config.SPLAT_COLUMNS_GROUP_CAP
+            if ngs <= cap:
+                im, dropped = launch(None)
+            else:
+                im = None
+                dropped = jnp.int32(0)
+                for g0 in range(0, ngs, cap):
+                    im_p, d_p = launch((g0, min(cap, ngs - g0)))
+                    im = im_p if im is None else im + im_p
+                    dropped = dropped + d_p
             return jax.lax.psum(im, axis), jax.lax.psum(dropped, axis)
 
         n_sharded = 5 + C + (1 if has_mask else 0)
@@ -832,14 +849,35 @@ class DistributedSplatter:
             # max-composited in by the caller — same contract as the
             # single-chip surface column path
             from .. import config as _config
-            im, dropped = zsplat_atlas.zsplat_atlas(
-                p, v, matrix, resolution, scale, b, density_cut=cut,
-                extra_mask=mask, giants=gb_thresh, group=group,
-                subgroups=subgroups,
-                # raised spill budgets, as the single-chip surface column
-                # path (render/surface._render_block_columns_surface)
-                spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
-                t3_cap=4096)
+
+            def launch(sl):
+                return zsplat_atlas.zsplat_atlas(
+                    p[sl], v[sl], matrix, resolution, scale, b[sl],
+                    density_cut=cut, extra_mask=mask[sl],
+                    giants=gb_thresh, group=group, subgroups=subgroups,
+                    # raised spill budgets, as the single-chip surface
+                    # column path (render/surface)
+                    spill_group_cap=4 * _config.SPLAT_SPILL_GROUP_CAP,
+                    t3_cap=4096)
+
+            # group-axis row chunks under the SMEM prefetch cap, partial
+            # z-buffers max-composited (as the single-chip surface path)
+            g_eff = 512 if group is None else group
+            chunk_rows = _config.SPLAT_COLUMNS_GROUP_CAP * g_eff
+            if p.shape[0] <= chunk_rows:
+                im, dropped = launch(slice(None))
+            else:
+                im = None
+                dropped = jnp.int32(0)
+                for r0 in range(0, p.shape[0], chunk_rows):
+                    sl = slice(r0, min(r0 + chunk_rows, p.shape[0]))
+                    im_p, d_p = launch(sl)
+                    if im is None:
+                        im = im_p
+                    else:
+                        front = im_p[..., -1] > im[..., -1]
+                        im = jnp.where(front[..., None], im_p, im)
+                    dropped = dropped + d_p
             depth = im[..., -1]
             dmax = jax.lax.pmax(depth, axis)
             payload = jnp.where((depth == dmax)[..., None], im[..., :-1],

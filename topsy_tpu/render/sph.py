@@ -171,12 +171,29 @@ def _render_block_columns_fields(fields, values_cm, group_buckets, mask,
         fields, values_cm, group_buckets, mask, col0, width, merge=False,
         pad_multiple=subgroups)
     from .. import config
-    return splat_atlas.splat_atlas_fields(
-        sliced, vals, matrix, resolution, scale, gb, mask=msk,
-        depth_channel=depth_channel, giants=giant_bucket,
-        subgroups=subgroups,
-        spill_group_cap=4 * config.SPLAT_SPILL_GROUP_CAP,
-        spill_t3_cap=4096)
+
+    def launch(piece):
+        return splat_atlas.splat_atlas_fields(
+            sliced, vals, matrix, resolution, scale, gb, mask=msk,
+            depth_channel=depth_channel, giants=giant_bucket,
+            subgroups=subgroups, piece=piece,
+            spill_group_cap=4 * config.SPLAT_SPILL_GROUP_CAP,
+            spill_t3_cap=4096)
+
+    ngs = sliced[0].shape[0]
+    cap = config.SPLAT_COLUMNS_GROUP_CAP
+    if ngs <= cap:
+        return launch(None)
+    # group-axis pieces: the kernel's per-group SMEM prefetch arrays cap
+    # the groups per launch (config.SPLAT_COLUMNS_GROUP_CAP); partial
+    # images are additive
+    im = None
+    dropped = jnp.int32(0)
+    for g0 in range(0, ngs, cap):
+        im_p, d_p = launch((g0, min(cap, ngs - g0)))
+        im = im_p if im is None else im + im_p
+        dropped = dropped + d_p
+    return im, dropped
 
 
 @functools.partial(jax.jit,
